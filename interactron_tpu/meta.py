@@ -1,0 +1,52 @@
+"""Meta-learning core: the clipped-SGD inner loop as pure pytree functions.
+
+The reference's parameter machinery (utils/meta_utils.py — recursive module
+walks, clone/detach/set_parameters) collapses into `jax.grad` over the
+detector's trainable param pytree:
+
+  * the frozen subset (stem+layer1, FrozenBN stats) lives in a separate
+    variable collection and simply never appears here, reproducing the
+    requires_grad partition (meta_utils.py:5-24);
+  * `sgd_step(params, grads, lr, clip=0.01)` = p - clip(lr*g, ±0.01)
+    elementwise (meta_utils.py:135-142) — the clip's VJP passes gradient
+    only in the unsaturated region, same as torch;
+  * second-order supervisor gradients come from differentiating through
+    `adapt` (the reference's create_graph=True at interactron.py:99-100);
+  * the detector's first-order step stops the gradient through g
+    (detach_gradients at interactron.py:126).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def clipped_sgd_step(params, grads, lr, clip=0.01):
+    """One inner-loop update: p - clip(lr * g, -clip, +clip) per leaf."""
+    return jax.tree_util.tree_map(
+        lambda p, g: p - jnp.clip(lr * g, -clip, clip).astype(p.dtype), params, grads
+    )
+
+
+def learned_loss_value(fusion_out):
+    """torch.norm of the per-prediction loss tokens (interactron.py:98):
+    the Frobenius norm over the whole (b, s, 50, 1) tensor."""
+    x = fusion_out["loss"].astype(jnp.float32)
+    return jnp.sqrt(jnp.sum(jnp.square(x)))
+
+
+def adapt(det_params, lr, inner_loss_fn, clip=0.01):
+    """Run one learned-loss adaptation step.
+
+    Args:
+      det_params: detector trainable params (pytree). Differentiation through
+        the returned fast weights gives second-order terms; wrap det_params
+        in stop_gradient at the call site to reproduce the reference's
+        detached supervisor path.
+      inner_loss_fn: det_params -> scalar learned loss (closes over fusion
+        params and the episode).
+
+    Returns:
+      (fast_params, grads): adapted weights and the raw inner grads.
+    """
+    grads = jax.grad(inner_loss_fn)(det_params)
+    return clipped_sgd_step(det_params, grads, lr, clip), grads

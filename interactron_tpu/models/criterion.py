@@ -1,0 +1,168 @@
+"""Hungarian matcher + set-prediction criterion on padded targets, fully
+on-device (replaces detr_models/matcher.py:32-77 and detr_models/
+detr.py:86-265).
+
+Targets are fixed-shape: labels (B, M) int32, boxes (B, M, 4) normalized
+cxcywh, valid (B, M) bool. Matching runs the batched JV solver; losses use
+masked scatters/sums so the whole criterion lives inside jit and vmaps over
+episodes.
+
+Faithful semantics:
+  * cost = cost_class * (-prob[tgt]) + cost_bbox * L1 + cost_giou * (-GIoU)
+    on softmax probabilities (matcher.py:53-72).
+  * loss_ce: weighted cross entropy over ALL queries where unmatched queries
+    target the no-object class with weight `background_c` (detr.py:111-126 —
+    note the reference overwrites the eos_coef buffer with background_c).
+  * loss_bbox / loss_giou: sums over matched pairs divided by num_boxes =
+    max(total valid targets in the call, 1) (detr.py:148-167, :237-242).
+  * cardinality_error / class_error for logging (detr.py:129-146).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from interactron_tpu.ops.box_ops import box_cxcywh_to_xyxy, generalized_box_iou
+from interactron_tpu.ops.hungarian import solve_padded
+
+
+def hungarian_match(outputs, targets, cost_class=1.0, cost_bbox=5.0, cost_giou=2.0):
+    """Compute the assignment. Returns col_to_row: (B, M) int32 — for each
+    (padded) target the matched query index; only valid targets meaningful.
+    """
+    logits = outputs["pred_logits"].astype(jnp.float32)  # (B, Q, C+1)
+    boxes = outputs["pred_boxes"].astype(jnp.float32)  # (B, Q, 4)
+    tgt_boxes = targets["boxes"].astype(jnp.float32)  # (B, M, 4)
+    tgt_labels = targets["labels"]  # (B, M)
+    valid = targets["valid"]  # (B, M)
+
+    prob = jax.nn.softmax(logits, axis=-1)
+    # cost_class[b, q, j] = -prob[b, q, labels[b, j]]
+    c_class = -jnp.take_along_axis(
+        prob, jnp.clip(tgt_labels, 0)[:, None, :], axis=-1
+    )
+    c_bbox = jnp.sum(jnp.abs(boxes[:, :, None, :] - tgt_boxes[:, None, :, :]), axis=-1)
+    c_giou = -generalized_box_iou(
+        box_cxcywh_to_xyxy(boxes), box_cxcywh_to_xyxy(tgt_boxes), eps=1e-8
+    )
+    cost = cost_bbox * c_bbox + cost_class * c_class + cost_giou * c_giou
+    cost = jax.lax.stop_gradient(cost)
+    # the JV solver is square: pad target columns up to Q (targets never
+    # exceed the query count, as in the reference's rectangular LAP)
+    q = cost.shape[1]
+    m = cost.shape[2]
+    assert m <= q, "more padded targets than queries"
+    if m < q:
+        cost = jnp.pad(cost, ((0, 0), (0, 0), (0, q - m)))
+        valid = jnp.pad(valid, ((0, 0), (0, q - m)))
+    return jax.vmap(solve_padded)(cost, valid)[:, :m]
+
+
+def set_criterion(
+    outputs,
+    targets,
+    *,
+    num_classes,
+    background_c=0.1,
+    cost_class=1.0,
+    cost_bbox=5.0,
+    cost_giou=2.0,
+    match_outputs: Optional[dict] = None,
+    num_boxes: Optional[jnp.ndarray] = None,
+):
+    """Compute all losses. `outputs`/`targets` as above; frames are stacked
+    along B (the reference passes a whole episode's frames in one call, so
+    num_boxes normalizes over the call — pass `num_boxes` explicitly to
+    normalize over a larger set).
+
+    Returns a dict of fp32 scalars: loss_ce, loss_bbox, loss_giou,
+    cardinality_error, class_error.
+    """
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    pboxes = outputs["pred_boxes"].astype(jnp.float32)
+    tgt_labels = targets["labels"]
+    tgt_boxes = targets["boxes"].astype(jnp.float32)
+    valid = targets["valid"]
+    b, q, _ = logits.shape
+    m = tgt_labels.shape[1]
+
+    col_to_row = hungarian_match(
+        match_outputs if match_outputs is not None else outputs,
+        targets,
+        cost_class,
+        cost_bbox,
+        cost_giou,
+    )
+
+    if num_boxes is None:
+        num_boxes = jnp.maximum(jnp.sum(valid).astype(jnp.float32), 1.0)
+
+    # ---- loss_ce: scatter matched labels; invalid targets scatter out of
+    # bounds (mode="drop").
+    rows = jnp.where(valid, col_to_row, q)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, m))
+    target_classes = jnp.full((b, q), num_classes, jnp.int32)
+    target_classes = target_classes.at[batch_idx.reshape(-1), rows.reshape(-1)].set(
+        tgt_labels.reshape(-1), mode="drop"
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)[..., 0]
+    w = jnp.where(target_classes == num_classes, background_c, 1.0)
+    loss_ce = jnp.sum(w * nll) / jnp.sum(w)
+
+    # ---- box losses over matched pairs
+    src_boxes = jnp.take_along_axis(
+        pboxes, jnp.clip(col_to_row, 0, q - 1)[..., None], axis=1
+    )  # (B, M, 4)
+    vf = valid.astype(jnp.float32)
+    l1 = jnp.sum(jnp.abs(src_boxes - tgt_boxes), axis=-1)
+    loss_bbox = jnp.sum(l1 * vf) / num_boxes
+
+    giou_el = _elementwise_giou(box_cxcywh_to_xyxy(src_boxes), box_cxcywh_to_xyxy(tgt_boxes))
+    loss_giou = jnp.sum((1.0 - giou_el) * vf) / num_boxes
+
+    # ---- logging metrics
+    card_pred = jnp.sum(jnp.argmax(logits, -1) != num_classes, axis=1).astype(jnp.float32)
+    tgt_len = jnp.sum(valid, axis=1).astype(jnp.float32)
+    cardinality_error = jnp.mean(jnp.abs(card_pred - tgt_len))
+
+    matched_logits = jnp.take_along_axis(
+        logits, jnp.clip(col_to_row, 0, q - 1)[..., None], axis=1
+    )
+    correct = (jnp.argmax(matched_logits, -1) == tgt_labels) & valid
+    class_error = 100.0 * (
+        1.0 - jnp.sum(correct.astype(jnp.float32)) / jnp.maximum(jnp.sum(vf), 1.0)
+    )
+
+    return {
+        "loss_ce": loss_ce,
+        "loss_bbox": loss_bbox,
+        "loss_giou": loss_giou,
+        "cardinality_error": cardinality_error,
+        "class_error": class_error,
+    }
+
+
+def _elementwise_giou(b1, b2, eps=1e-8):
+    """GIoU between aligned boxes: (..., 4) x (..., 4) -> (...)."""
+    area1 = (b1[..., 2] - b1[..., 0]) * (b1[..., 3] - b1[..., 1])
+    area2 = (b2[..., 2] - b2[..., 0]) * (b2[..., 3] - b2[..., 1])
+    lt = jnp.maximum(b1[..., :2], b2[..., :2])
+    rb = jnp.minimum(b1[..., 2:], b2[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1 + area2 - inter
+    iou = inter / (union + eps)
+    lt2 = jnp.minimum(b1[..., :2], b2[..., :2])
+    rb2 = jnp.maximum(b1[..., 2:], b2[..., 2:])
+    wh2 = jnp.clip(rb2 - lt2, 0.0)
+    area = wh2[..., 0] * wh2[..., 1]
+    return iou - (area - union) / (area + eps)
+
+
+def weighted_detection_loss(losses, w_ce=1.0, w_bbox=2.0, w_giou=5.0):
+    """The reference's recurring combination: ce + 5*giou + 2*bbox
+    (interactron.py:108,121,133 — note bbox gets weight 2 and giou weight 5
+    in the TRAINING combination, swapped relative to the matcher costs)."""
+    return losses["loss_ce"] + w_giou * losses["loss_giou"] + w_bbox * losses["loss_bbox"]

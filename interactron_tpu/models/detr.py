@@ -1,0 +1,176 @@
+"""DETR detector in Flax: ResNet-50-DC5 -> 1x1 proj -> 6+6 transformer with
+50 object queries -> class/box heads.
+
+Behavioral contract matches the reference DETR (detr_models/detr.py:48-75 and
+detr_models/transformer.py): post-norm layers, ReLU FFN (dim 2048), positional
+embeddings added to q/k only, decoder query embeddings added every layer,
+final decoder LayerNorm, and the extended output dict carrying
+`embedded_memory_features` (encoder memory) and `box_features` (decoder
+hidden states) for the fusion transformer.
+
+TPU-first differences: fixed 300x300 inputs with no padding (dataset masks
+are all-zeros — sequence_dataset.py:56), so the sine positional embedding is
+a compile-time constant and no key-padding mask is materialized; outputs are
+NHWC/(B, T, C); compute dtype configurable (bf16 on TPU), fp32 softmax/LN.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from interactron_tpu.models.layers import (
+    Dense,
+    Dropout,
+    LayerNorm,
+    MLP,
+    MultiHeadAttention,
+    xavier_uniform,
+)
+from interactron_tpu.models.position_encoding import sine_position_embedding
+from interactron_tpu.models.resnet import ResNet50DC5
+from interactron_tpu.utils import constants as C
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    ff_dim: int
+    dropout_rate: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, src, pos, deterministic=True):
+        q = k = src + pos
+        attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout_rate, dtype=self.dtype, name="self_attn"
+        )(q, k, src, deterministic=deterministic)
+        src = src + Dropout(self.dropout_rate)(attn, deterministic)
+        src = LayerNorm(name="norm1")(src)
+        ff = Dense(self.ff_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(src)
+        ff = Dropout(self.dropout_rate)(nn.relu(ff), deterministic)
+        ff = Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ff)
+        src = src + Dropout(self.dropout_rate)(ff, deterministic)
+        return LayerNorm(name="norm2")(src)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    ff_dim: int
+    dropout_rate: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, pos, deterministic=True):
+        q = k = tgt + query_pos
+        attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout_rate, dtype=self.dtype, name="self_attn"
+        )(q, k, tgt, deterministic=deterministic)
+        tgt = tgt + Dropout(self.dropout_rate)(attn, deterministic)
+        tgt = LayerNorm(name="norm1")(tgt)
+        attn = MultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout_rate, dtype=self.dtype, name="cross_attn"
+        )(tgt + query_pos, memory + pos, memory, deterministic=deterministic)
+        tgt = tgt + Dropout(self.dropout_rate)(attn, deterministic)
+        tgt = LayerNorm(name="norm2")(tgt)
+        ff = Dense(self.ff_dim, dtype=self.dtype, kernel_init=xavier_uniform, name="linear1")(tgt)
+        ff = Dropout(self.dropout_rate)(nn.relu(ff), deterministic)
+        ff = Dense(self.d_model, dtype=self.dtype, kernel_init=xavier_uniform, name="linear2")(ff)
+        tgt = tgt + Dropout(self.dropout_rate)(ff, deterministic)
+        return LayerNorm(name="norm3")(tgt)
+
+
+class TransformerDecoderStack(nn.Module):
+    """Standalone decoder stack, reused by the cross-attention fusion variant
+    (new_transformer.py:22-25 reuses the DETR decoder the same way)."""
+
+    d_model: int
+    num_heads: int
+    num_layers: int
+    ff_dim: int = 2048
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, pos, deterministic=True):
+        for i in range(self.num_layers):
+            tgt = DecoderLayer(
+                self.d_model,
+                self.num_heads,
+                self.ff_dim,
+                self.dropout_rate,
+                self.dtype,
+                name=f"layer{i}",
+            )(tgt, memory, query_pos, pos, deterministic=deterministic)
+        return LayerNorm(name="norm")(tgt)
+
+
+class DETR(nn.Module):
+    """Full detector.
+
+    __call__(images) with images (B, 300, 300, 3) returns a dict:
+      pred_logits: (B, 50, num_classes + 1)
+      pred_boxes:  (B, 50, 4) cxcywh in [0, 1]
+      embedded_memory_features: (B, 361, d_model) encoder memory
+      box_features: (B, 50, d_model) final decoder hidden states
+    """
+
+    num_classes: int = C.NUM_CLASSES
+    num_queries: int = C.NUM_QUERIES
+    d_model: int = 256
+    num_heads: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    ff_dim: int = 2048
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images, deterministic=True, decoder_deterministic: Optional[bool] = None):
+        if decoder_deterministic is None:
+            decoder_deterministic = deterministic
+        b = images.shape[0]
+        feats = ResNet50DC5(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
+        h, w = feats.shape[1], feats.shape[2]
+        src = Dense(self.d_model, dtype=self.dtype, name="input_proj")(feats)  # 1x1 conv == dense over channels
+        src = src.reshape(b, h * w, self.d_model)
+
+        pos = jnp.asarray(
+            sine_position_embedding(h, w, self.d_model // 2), self.dtype
+        )[None]
+
+        memory = src
+        for i in range(self.num_encoder_layers):
+            memory = EncoderLayer(
+                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate, self.dtype,
+                name=f"encoder_layer{i}",
+            )(memory, pos, deterministic=deterministic)
+
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(stddev=1.0), (self.num_queries, self.d_model)
+        )
+        query_pos = jnp.broadcast_to(
+            query_embed.astype(self.dtype)[None], (b, self.num_queries, self.d_model)
+        )
+        tgt = jnp.zeros_like(query_pos)
+        hs = TransformerDecoderStack(
+            self.d_model,
+            self.num_heads,
+            self.num_decoder_layers,
+            self.ff_dim,
+            self.dropout_rate,
+            self.dtype,
+            name="decoder",
+        )(tgt, memory, query_pos, pos, deterministic=decoder_deterministic)
+
+        logits = Dense(self.num_classes + 1, dtype=self.dtype, name="class_embed")(hs)
+        boxes = nn.sigmoid(
+            MLP(self.d_model, 4, 3, dtype=self.dtype, name="bbox_embed")(hs).astype(jnp.float32)
+        )
+        return {
+            "pred_logits": logits.astype(jnp.float32),
+            "pred_boxes": boxes,
+            "embedded_memory_features": memory,
+            "box_features": hs,
+        }

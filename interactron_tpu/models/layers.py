@@ -1,0 +1,197 @@
+"""Small building blocks shared by the backbone and transformers.
+
+Everything stores parameters in float32 and computes in a configurable
+`dtype` (bfloat16 on TPU by default); LayerNorm statistics are always fp32.
+Modules that mirror frozen (requires_grad=False) reference parameters put
+them in the `frozen` variable collection so they are excluded from both the
+optimizer and the meta inner loop by construction (utils/meta_utils.py:5-24
+walks only requires_grad params; backbone.py:61-63 freezes stem + layer1).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+he_normal = nn.initializers.he_normal()
+normal02 = nn.initializers.normal(stddev=0.02)
+
+
+class Conv2d(nn.Module):
+    """NHWC conv with torch-style explicit padding and an optional `frozen`
+    flag that routes the kernel into the `frozen` collection."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[int, Tuple[int, int]] = 0
+    dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = False
+    frozen: bool = False
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = he_normal
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        shape = (*self.kernel_size, in_features, self.features)
+        if self.frozen:
+            kernel = self.variable(
+                "frozen", "kernel", self.kernel_init, self.make_rng("params") if self.has_rng("params") else jax.random.PRNGKey(0), shape
+            ).value
+        else:
+            kernel = self.param("kernel", self.kernel_init, shape)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=self.strides,
+            padding=pad,
+            rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            if self.frozen:
+                bias = self.variable(
+                    "frozen", "bias", nn.initializers.zeros, jax.random.PRNGKey(0), (self.features,)
+                ).value
+            else:
+                bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics and affine params (backbone.py:19-54).
+
+    All four tensors live in the `frozen` collection: they are never trained
+    and never adapted, exactly like the reference buffers.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ones = lambda *_: jnp.ones((self.features,), jnp.float32)
+        zeros = lambda *_: jnp.zeros((self.features,), jnp.float32)
+        w = self.variable("frozen", "weight", ones).value
+        b = self.variable("frozen", "bias", zeros).value
+        rm = self.variable("frozen", "running_mean", zeros).value
+        rv = self.variable("frozen", "running_var", ones).value
+        scale = w * jax.lax.rsqrt(rv + 1e-5)
+        bias = b - rm * scale
+        return x * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with fp32 params, configurable compute dtype."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32, cast back to input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * scale + bias).astype(dtype)
+
+
+class MLP(nn.Module):
+    """DETR's simple FFN head: n-1 ReLU layers + linear out
+    (detr_models/detr.py:299-311)."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers - 1):
+            x = Dense(self.hidden_dim, dtype=self.dtype, name=f"layer{i}")(x)
+            x = nn.relu(x)
+        return Dense(self.out_dim, dtype=self.dtype, name=f"layer{self.num_layers - 1}")(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-style MHA: separate q/k/v/out projections with bias, softmax in
+    fp32, optional key padding mask and attention dropout."""
+
+    embed_dim: int
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = xavier_uniform
+
+    @nn.compact
+    def __call__(self, q, k, v, *, key_padding_mask=None, deterministic=True):
+        from interactron_tpu.ops.attention import dot_product_attention
+
+        d = self.embed_dim
+        h = self.num_heads
+        hd = d // h
+        dense = lambda name: Dense(d, dtype=self.dtype, kernel_init=self.kernel_init, name=name)
+
+        def split(x):
+            b, t, _ = x.shape
+            return x.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+
+        qh = split(dense("q_proj")(q))
+        kh = split(dense("k_proj")(k))
+        vh = split(dense("v_proj")(v))
+        rng = self.make_rng("dropout") if (self.dropout_rate > 0 and not deterministic) else None
+        out = dot_product_attention(
+            qh,
+            kh,
+            vh,
+            key_padding_mask=key_padding_mask,
+            dropout_rate=self.dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=rng,
+        )
+        b, _, t, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return dense("out_proj")(out)
+
+
+class Dropout(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

@@ -1,0 +1,94 @@
+"""ResNet-50-DC5 backbone in Flax, matching the reference's torchvision
+backbone semantics (detr_models/backbone.py:82-92):
+
+  * `replace_stride_with_dilation=[False, False, True]`: layer4 keeps
+    stride 1 and dilates its 3x3 convs by 2 -> output stride 16, a 19x19
+    feature map at 300x300 input.
+  * FrozenBatchNorm everywhere (backbone.py:19-54).
+  * stem + layer1 parameters are frozen (backbone.py:61-63 freezes all
+    params whose names lack layer2/3/4) — realized here by routing those
+    kernels into the `frozen` variable collection, so the optimizer and the
+    meta inner loop see only trainable weights.
+
+Weights convert 1:1 from torchvision/DETR checkpoints (tools/convert_weights.py).
+"""
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from interactron_tpu.models.layers import Conv2d, FrozenBatchNorm
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    frozen: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, p, d, name: Conv2d(
+            f, (k, k), (s, s), p, (d, d), frozen=self.frozen, dtype=self.dtype, name=name
+        )
+        out = conv(self.planes, 1, 1, 0, 1, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, self.dilation, self.dilation, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, 0, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, dtype=self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = conv(self.planes * 4, 1, self.stride, 0, 1, "downsample_conv")(x)
+            identity = FrozenBatchNorm(self.planes * 4, dtype=self.dtype, name="downsample_bn")(identity)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
+
+class ResNet50DC5(nn.Module):
+    """Returns the C5 feature map: (B, 19, 19, 2048) for 300x300 inputs."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # stem (frozen)
+        x = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        def layer(x, planes, blocks, stride, dilation, frozen, name):
+            # torchvision _make_layer: first block carries stride+downsample
+            # with the PREVIOUS dilation; later blocks use the new dilation.
+            first_dilation = 1
+            x = Bottleneck(
+                planes,
+                stride=stride,
+                dilation=first_dilation,
+                downsample=True,
+                frozen=frozen,
+                dtype=self.dtype,
+                name=f"{name}_block0",
+            )(x)
+            for i in range(1, blocks):
+                x = Bottleneck(
+                    planes,
+                    dilation=dilation,
+                    frozen=frozen,
+                    dtype=self.dtype,
+                    name=f"{name}_block{i}",
+                )(x)
+            return x
+
+        x = layer(x, 64, 3, 1, 1, True, "layer1")    # frozen
+        x = layer(x, 128, 4, 2, 1, False, "layer2")
+        x = layer(x, 256, 6, 2, 1, False, "layer3")
+        # DC5: stride->1, dilation 2 on the 3x3s of blocks 1..n-1
+        x = layer(x, 512, 3, 1, 2, False, "layer4")
+        return x

@@ -1,0 +1,69 @@
+"""Shared multi-head attention primitive.
+
+One attention core serves the DETR encoder/decoder (T<=361) and the fusion
+GPT (T=2060). Sequence lengths are small, so the default implementation lets
+XLA fuse the (B, H, T, S) einsum chain; an optional Pallas flash-attention
+path (ops/flash_attention.py) can be enabled for the fusion-sized problems
+where keeping the softmax in VMEM wins.
+
+Softmax is always computed in float32 regardless of the compute dtype.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# Module-level switch so benchmarks/tests can flip implementations globally.
+_USE_PALLAS = False
+
+
+def set_flash_attention(enabled: bool):
+    global _USE_PALLAS
+    _USE_PALLAS = bool(enabled)
+
+
+def dot_product_attention(
+    q,
+    k,
+    v,
+    *,
+    key_padding_mask=None,
+    dropout_rate=0.0,
+    deterministic=True,
+    dropout_rng=None,
+):
+    """Scaled dot-product attention.
+
+    Args:
+      q: (B, H, T, D)
+      k, v: (B, H, S, D)
+      key_padding_mask: optional (B, S) bool, True = PADDED (masked out),
+        matching the torch `key_padding_mask` convention used by the
+        reference (detr_models/transformer.py:154).
+      dropout_rate: attention-probability dropout (gpt.py:51,
+        detr transformer layers).
+
+    Returns:
+      (B, H, T, D) in q.dtype.
+    """
+    in_dtype = q.dtype
+    d = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+
+    if _USE_PALLAS and key_padding_mask is None and deterministic:
+        from interactron_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)
+        return out.astype(in_dtype)
+
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_padding_mask is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(in_dtype)
+    return jnp.einsum("bhts,bhsd->bhtd", probs, v)

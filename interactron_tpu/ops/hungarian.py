@@ -41,12 +41,17 @@ def solve_square(cost):
         p = p.at[0].set(i)
         minv = jnp.full((n + 1,), _INF)
         used = jnp.zeros((n + 1,), jnp.bool_)
+        used_rows = jnp.zeros((n + 1,), jnp.bool_)
         j0 = jnp.int32(0)
 
         def path_body(state):
-            u, v, p, way, (minv, used), j0 = state[0], state[1], state[2], state[3], state[4], state[5]
+            u, v, p, way, (minv, used, used_rows), j0 = state
             used = used.at[j0].set(True)
             i0 = p[j0]
+            # track the set of rows on the alternating tree incrementally so
+            # the dual update u[p[j]] += delta needs no scatter (keeps the
+            # Mosaic compile fast)
+            used_rows = used_rows.at[i0].set(True)
             cur = cost_pad[i0] - u[i0] - v
             upd = jnp.logical_and(~used, cur < minv)
             minv = jnp.where(upd, cur, minv)
@@ -54,16 +59,16 @@ def solve_square(cost):
             masked = jnp.where(used, _INF, minv)
             j1 = jnp.argmin(masked).astype(jnp.int32)
             delta = masked[j1]
-            u = u.at[p].add(jnp.where(used, delta, 0.0))
+            u = u + jnp.where(used_rows, delta, 0.0)
             v = v - jnp.where(used, delta, 0.0)
             minv = minv - jnp.where(used, 0.0, delta)
-            return (u, v, p, way, (minv, used), j1)
+            return (u, v, p, way, (minv, used, used_rows), j1)
 
         def cond(state):
             p, j0 = state[2], state[5]
             return p[j0] != 0
 
-        state = (u, v, p, way, (minv, used), j0)
+        state = (u, v, p, way, (minv, used, used_rows), j0)
         # First expansion must always run: p[0] = i != 0, so cond is true.
         state = jax.lax.while_loop(cond, path_body, state)
         u, v, p, way, _, j0 = state
