@@ -1,0 +1,216 @@
+"""Episode replay datasets over the precollected iTHOR trees.
+
+Reads the reference's `interactron_v1_{train,test}.json` schema
+(sequence_dataset.py:34-95, collect_ithor_tree_data.py:115-137):
+
+  {"data": [{"scene_name", "root", "state_table":
+      {state: {"detections": {obj: {"category_id", "bbox"[x,y,w,h]}},
+               "actions": {action_name: next_state}}}],
+   "metadata": {"actions": [...]}}
+
+Produces fixed-shape numpy samples (frames NHWC float32, padded targets) —
+the ragged lists + NestedTensor path of the reference is replaced by masks.
+Category ids are offset by +1 at load (sequence_dataset.py:62); test mode
+walks the fixed 5-action path (sequence_dataset.py:37-38).
+"""
+
+import json
+import os
+import queue
+import threading
+
+import numpy as np
+from PIL import Image
+
+from interactron_tpu.data.transforms import EvalTransform, TrainTransform
+from interactron_tpu.utils import constants as C
+
+FIXED_TEST_PATH = ["RotateLeft", "MoveAhead", "RotateLeft", "MoveBack", "RotateRight"]
+
+
+class EpisodeDataset:
+    def __init__(self, img_root, annotations_path, mode="train", train_aug=False,
+                 max_boxes=C.MAX_BOXES, resolution=C.IMG_SIZE, seed=0):
+        assert mode in ("train", "test")
+        self.mode = mode
+        with open(annotations_path) as f:
+            self.annotations = json.load(f)
+        self.img_dir = img_root.rstrip("/")
+        self.transform = (
+            TrainTransform(resolution) if train_aug else EvalTransform(resolution)
+        )
+        self.max_boxes = max_boxes
+        self.resolution = resolution
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.annotations["data"])
+
+    def _load_state(self, scene, state_name, rng):
+        img_path = os.path.join(self.img_dir, scene["scene_name"], state_name + ".jpg")
+        frame = Image.open(img_path)
+        state = scene["state_table"][state_name]
+        boxes, labels = [], []
+        for _, v in state["detections"].items():
+            labels.append(v["category_id"] + 1)
+            x, y, w, h = v["bbox"]
+            boxes.append([x, y, x + w, y + h])
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        labels = np.asarray(labels, np.int64)
+        img, boxes_n, labels = self.transform(frame, boxes, labels, rng)
+        return img, boxes_n, labels
+
+    def _pad_targets(self, boxes, labels):
+        m = self.max_boxes
+        n = min(len(labels), m)
+        pb = np.zeros((m, 4), np.float32)
+        pl = np.zeros((m,), np.int32)
+        pv = np.zeros((m,), bool)
+        pb[:n] = boxes[:n]
+        pl[:n] = labels[:n]
+        pv[:n] = True
+        return pb, pl, pv
+
+    def get_item(self, idx, actions=None):
+        scene = self.annotations["data"][idx]
+        if self.mode == "test" and actions is None:
+            actions = FIXED_TEST_PATH
+        if actions is None:
+            actions = [
+                self.rng.choice(self.annotations["metadata"]["actions"])
+                for _ in range(C.NUM_FRAMES)
+            ]
+        state_name = scene["root"]
+        frames, b_list, l_list, v_list = [], [], [], []
+        initial_image_path = os.path.join(
+            self.img_dir, scene["scene_name"], scene["root"] + ".jpg"
+        )
+        for i in range(C.NUM_FRAMES):
+            img, boxes, labels = self._load_state(scene, state_name, self.rng)
+            pb, pl, pv = self._pad_targets(boxes, labels)
+            frames.append(img)
+            b_list.append(pb)
+            l_list.append(pl)
+            v_list.append(pv)
+            if i < C.NUM_FRAMES - 1:
+                state_name = scene["state_table"][state_name]["actions"][actions[i]]
+        return {
+            "frames": np.stack(frames).astype(np.float32),
+            "actions": np.asarray([C.ACTIONS.index(a) for a in actions], np.int32),
+            "labels": np.stack(l_list),
+            "boxes": np.stack(b_list),
+            "valid": np.stack(v_list),
+            "episode_uid": np.int32(idx),
+            "initial_image_path": initial_image_path,
+        }
+
+    __getitem__ = get_item
+
+
+def collate(samples):
+    batch = {
+        k: np.stack([s[k] for s in samples])
+        for k in ("frames", "actions", "labels", "boxes", "valid", "episode_uid")
+    }
+    batch["initial_image_path"] = [s["initial_image_path"] for s in samples]
+    return batch
+
+
+class EpisodeLoader:
+    """Background-threaded batch loader with prefetch (replaces the torch
+    DataLoader + worker processes; decode/augment overlaps device compute)."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, num_workers=2, prefetch=2,
+                 drop_last=True, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        nb = len(self)
+        for i in range(nb):
+            yield idx[i * self.batch_size : (i + 1) * self.batch_size]
+
+    def __iter__(self):
+        if self.num_workers == 0:
+            for ib in self._index_batches():
+                yield collate([self.dataset.get_item(int(i)) for i in ib])
+            return
+
+        q = queue.Queue(maxsize=self.prefetch)
+        batches = list(self._index_batches())
+        stop = object()
+
+        def worker():
+            for ib in batches:
+                q.put(collate([self.dataset.get_item(int(i)) for i in ib]))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class InteractiveEpisodeDataset(EpisodeDataset):
+    """Gym-style closed-loop replay (datasets/interactive_dataset.py:30-154):
+    reset() advances to the next episode and returns a 1-frame sample;
+    step(action) replays the prefix and returns the (len+1)-frame sample."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.idx = -1
+        self.actions = []
+
+    def _partial_sample(self):
+        scene = self.annotations["data"][self.idx]
+        state_name = scene["root"]
+        frames, b_list, l_list, v_list = [], [], [], []
+        initial_image_path = os.path.join(
+            self.img_dir, scene["scene_name"], scene["root"] + ".jpg"
+        )
+        for i in range(len(self.actions) + 1):
+            img, boxes, labels = self._load_state(scene, state_name, self.rng)
+            pb, pl, pv = self._pad_targets(boxes, labels)
+            frames.append(img)
+            b_list.append(pb)
+            l_list.append(pl)
+            v_list.append(pv)
+            if i < len(self.actions):
+                state_name = scene["state_table"][state_name]["actions"][self.actions[i]]
+        return {
+            "frames": np.stack(frames).astype(np.float32)[None],
+            "actions": np.asarray(
+                [C.ACTIONS.index(a) for a in self.actions], np.int32
+            )[None],
+            "labels": np.stack(l_list)[None],
+            "boxes": np.stack(b_list)[None],
+            "valid": np.stack(v_list)[None],
+            "episode_uid": np.asarray([self.idx], np.int32),
+            "initial_image_path": [initial_image_path],
+        }
+
+    def reset(self):
+        self.idx += 1
+        if self.idx >= len(self.annotations["data"]):
+            self.idx = 0
+        self.actions = []
+        return self._partial_sample()
+
+    def step(self, action):
+        self.actions.append(C.ACTIONS[int(action)])
+        return self._partial_sample()

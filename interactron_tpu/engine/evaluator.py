@@ -1,0 +1,173 @@
+"""Evaluators: offline episode replay (random/fixed policy) and closed-loop
+interactive evaluation, with reference-identical scoring and AP
+(random_policy_evaluator.py, interactive_evaluator.py).
+
+Device work (predict + NMS) is jitted; the per-category matching and AP run
+on host (tiny arrays). Evaluation scores frame 0 of each episode only
+(random_policy_evaluator.py:65-68).
+"""
+
+import json
+import os
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from interactron_tpu.data.episode_dataset import (
+    EpisodeDataset,
+    EpisodeLoader,
+    InteractiveEpisodeDataset,
+)
+from interactron_tpu.engine.ap import ap_summary, compute_ap, score_frame
+from interactron_tpu.utils import constants as C
+from interactron_tpu.utils.checkpoint import load_checkpoint
+
+
+class _EvaluatorBase:
+    def __init__(self, model, config, load_checkpoint_flag=False):
+        self.model = model
+        self.config = config
+        self.params = None
+        self.frozen = None
+        self.load_checkpoint_flag = load_checkpoint_flag
+        self.out_dir = os.path.join(
+            config.EVALUATOR.OUTPUT_DIRECTORY, datetime.now().strftime("%m-%d-%Y-%H:%M:%S")
+        )
+        self._predict_jit = jax.jit(self.model.predict)
+
+    def ensure_params(self, params=None, frozen=None):
+        if params is not None:
+            self.params, self.frozen = params, frozen
+        if self.params is None:
+            import jax
+
+            self.params, self.frozen = self.model.init(jax.random.PRNGKey(42))
+            if self.load_checkpoint_flag:
+                path = self.config.EVALUATOR.get("CHECKPOINT")
+                if path and os.path.exists(path):
+                    self.params = load_checkpoint(path, self.params)
+
+    # ---------------------------------------------------------------- common
+
+    def _score_episode(self, batch, predictions):
+        """Frame-0 scoring -> detection records."""
+        pred_logits = np.asarray(predictions["pred_logits"])[0, 0]
+        pred_boxes = np.asarray(predictions["pred_boxes"])[0, 0]
+        valid = np.asarray(batch["valid"])[0, 0]
+        gt_boxes = np.asarray(batch["boxes"])[0, 0][valid]
+        gt_cats = np.asarray(batch["labels"])[0, 0][valid]
+        return score_frame(
+            pred_logits,
+            pred_boxes,
+            gt_boxes,
+            gt_cats,
+            batch["initial_image_path"][0],
+            num_classes=self.model.num_classes,
+        )
+
+    def _finish(self, detections, save_results):
+        tps = [d for d in detections if d["type"] == "tp"]
+        fps = [d for d in detections if d["type"] == "fp"]
+        fns = [d for d in detections if d["type"] == "fn"]
+        ap_50 = compute_ap(detections, iou_thresholds=[0.5])
+        ap = compute_ap(detections, iou_thresholds=list(np.arange(0.5, 1.0, 0.05)))
+        if not save_results:
+            return ap_50, ap, len(tps), len(fps), len(fns)
+        summary = ap_summary(detections)
+        print(
+            "AP_50:", summary["AP_50"], "AP_75", summary["AP_75"], "AP", summary["AP"],
+            "AP_small", summary["AP_small"], "AP_medium", summary["AP_medium"],
+            "AP_large", summary["AP_large"],
+        )
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(os.path.join(self.out_dir, "results.json"), "w") as f:
+            json.dump({"AP_50": summary["AP_50"], "summary": summary, "detections": detections}, f)
+        return summary
+
+    def _save_image(self, batch, img_detections):
+        """Annotated 1200x1200 dump (random_policy_evaluator.py:159-182)."""
+        from PIL import ImageDraw
+
+        from interactron_tpu.data.transforms import inv_transform
+
+        img = inv_transform(np.asarray(batch["frames"])[0, 0]).resize((1200, 1200))
+        draw = ImageDraw.Draw(img)
+        for det in img_detections:
+            if det["type"] == "fn" or (det["type"] == "fp" and det["pred_score"] > 0.5):
+                continue
+            color = "blue" if det["type"] == "tp" and det["iou"] >= 0.5 else (
+                "black" if det["type"] == "tp" else None
+            )
+            if color is None:
+                continue
+            draw.rectangle([1200 * c for c in det["box"]], outline=color, width=2)
+            name = C.tlvis_classes[det["pred_cat"]] if det["pred_cat"] < len(C.tlvis_classes) else str(det["pred_cat"])
+            draw.text((1200 * det["box"][0], 1200 * max(det["box"][1] - 0.02, 0)), name, fill=color)
+        img_root = os.path.join(self.out_dir, "images")
+        os.makedirs(img_root, exist_ok=True)
+        img.save(os.path.join(img_root, os.path.basename(img_detections[0]["img"])))
+
+
+class RandomPolicyEvaluator(_EvaluatorBase):
+    """Replays precollected test episodes with the fixed 5-action path
+    (random_policy_evaluator.py:37-59)."""
+
+    def __init__(self, model, config, load_checkpoint=False):
+        super().__init__(model, config, load_checkpoint)
+        ds = config.DATASET.TEST
+        self.dataset = EpisodeDataset(
+            ds.IMAGE_ROOT, ds.ANNOTATION_ROOT, ds.MODE, train_aug=False,
+            resolution=model.img_size, max_boxes=model.max_boxes,
+        )
+
+    def evaluate(self, save_results=False, params=None, frozen=None):
+        self.ensure_params(params, frozen)
+        loader = EpisodeLoader(
+            self.dataset, batch_size=1, shuffle=False,
+            num_workers=int(self.config.EVALUATOR.get("NUM_WORKERS", 1)),
+        )
+        detections = []
+        for batch in loader:
+            preds = self._predict_jit(self.params, self.frozen, _device_batch(batch))
+            ep_dets = self._score_episode(batch, preds)
+            detections += ep_dets
+            if save_results and ep_dets:
+                self._save_image(batch, ep_dets)
+        return self._finish(detections, save_results)
+
+
+class InteractiveEvaluator(_EvaluatorBase):
+    """Closed-loop policy evaluation: reset, 4x (get_next_action -> step),
+    adaptive predict, frame-0 scoring (interactive_evaluator.py:35-208)."""
+
+    def __init__(self, model, config, load_checkpoint=False):
+        super().__init__(model, config, load_checkpoint)
+        ds = config.DATASET.TEST
+        self.dataset = InteractiveEpisodeDataset(
+            ds.IMAGE_ROOT, ds.ANNOTATION_ROOT, ds.MODE, train_aug=False,
+            resolution=model.img_size, max_boxes=model.max_boxes,
+        )
+        self._next_action_jit = jax.jit(self.model.next_action) if hasattr(self.model, "next_action") else None
+
+    def evaluate(self, save_results=False, params=None, frozen=None):
+        self.ensure_params(params, frozen)
+        detections = []
+        for _ in range(len(self.dataset)):
+            batch = self.dataset.reset()
+            for _ in range(C.NUM_FRAMES - 1):
+                if self._next_action_jit is not None:
+                    a = int(self._next_action_jit(self.params, self.frozen, _device_batch(batch)))
+                else:
+                    a = int(np.random.randint(0, C.NUM_ACTIONS))
+                batch = self.dataset.step(a)
+            preds = self._predict_jit(self.params, self.frozen, _device_batch(batch))
+            ep_dets = self._score_episode(batch, preds)
+            detections += ep_dets
+            if save_results and ep_dets:
+                self._save_image(batch, ep_dets)
+        return self._finish(detections, save_results)
+
+
+def _device_batch(batch):
+    return {k: v for k, v in batch.items() if k != "initial_image_path"}

@@ -1,0 +1,236 @@
+"""Training loop (engine/*_trainer.py in the reference, unified).
+
+One Trainer serves all four experiment rows; behavior keyed by TRAINER.TYPE:
+
+  * interactron / interactron_random: two Adam optimizers — detector at
+    DETECTOR_LR, fusion ("supervisor") at SUPERVISOR_LR
+    (interactron_trainer.py:71-72; the interactron_random trainer hardcodes
+    1e-5/1e-4 regardless of config — interactron_random_trainer.py:70-71,
+    reproduced deliberately);
+  * direct_supervision: one Adam over everything (direct_supervision_trainer.py:69).
+
+Per iteration: grads accumulate over the episode batch inside the task (the
+reference's backward-inside-forward), global grad-norm clip over ALL params
+jointly (interactron_trainer.py:107), optimizer step(s), optional
+warmup+cosine LR on the supervisor keyed to seen token count
+(interactron_trainer.py:114-126). Epoch 0 and every epoch run a full test
+epoch + AP evaluation (interactron_trainer.py:140-159); the final checkpoint
+is the uniform weight average of the last SAVE_WINDOW epochs
+(interactron_trainer.py:48-65). Adds what the reference lacks: full-state
+resume and a mesh-sharded train step (episodes over 'dp').
+"""
+
+import math
+import os
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from interactron_tpu.data.episode_dataset import EpisodeDataset, EpisodeLoader
+from interactron_tpu.parallel.mesh import data_parallel_grads, make_mesh, shard_batch
+from interactron_tpu.utils.checkpoint import RunningAverage, save_pytree, load_pytree
+from interactron_tpu.utils.logging import MetricLogger
+
+
+def global_norm_clip(grads, max_norm):
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), norm
+
+
+class Trainer:
+    def __init__(self, model, config, evaluator=None, mesh=None):
+        self.model = model
+        self.config = config
+        self.evaluator = evaluator
+        t = config.TRAINER
+        self.type = t.TYPE
+
+        self.out_dir = os.path.join(
+            t.OUTPUT_DIRECTORY, datetime.now().strftime("%m-%d-%Y:%H:%M:%S")
+        )
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.logger = MetricLogger(os.path.join(self.out_dir, "logs"))
+        self.checkpoint_path = os.path.join(self.out_dir, "detector.ckpt")
+        self.avg = RunningAverage()
+
+        train_ds = config.DATASET.TRAIN
+        test_ds = config.DATASET.TEST
+        self.train_dataset = EpisodeDataset(
+            train_ds.IMAGE_ROOT, train_ds.ANNOTATION_ROOT, train_ds.MODE,
+            train_aug=True, resolution=model.img_size, max_boxes=model.max_boxes,
+        )
+        self.test_dataset = EpisodeDataset(
+            test_ds.IMAGE_ROOT, test_ds.ANNOTATION_ROOT, test_ds.MODE,
+            train_aug=False, resolution=model.img_size, max_boxes=model.max_boxes,
+        )
+
+        self.batch_size = int(t.BATCH_SIZE)
+        self.max_epochs = int(t.MAX_EPOCHS)
+        self.save_window = int(t.get("SAVE_WINDOW", 0) or 0)
+        self.grad_clip = float(t.get("GRAD_NORM_CLIP", 1.0))
+        self.num_workers = int(t.get("NUM_WORKERS", 2))
+
+        if self.type == "interactron_random":
+            # quirk preserved: config LRs ignored (interactron_random_trainer.py:70-71)
+            self.detector_lr, self.supervisor_lr = 1e-5, 1e-4
+        else:
+            self.detector_lr = float(t.get("DETECTOR_LR", 1e-5))
+            self.supervisor_lr = float(t.get("SUPERVISOR_LR", 1e-4))
+        self.single_optimizer = self.type == "direct_supervision"
+        self.lr_decay = bool(t.get("LR_DECAY", False))
+        self.warmup_tokens = float(t.get("WARMUP_TOKENS", 0) or 0)
+        self.final_tokens = float(t.get("FINAL_TOKENS", 0) or 0)
+
+        # mesh: data-parallel over all devices when the batch divides evenly
+        n_dev = len(jax.devices())
+        if mesh is not None:
+            self.mesh = mesh
+        elif n_dev > 1 and self.batch_size % n_dev == 0:
+            self.mesh = make_mesh(tp=1)
+        else:
+            self.mesh = None
+        self.tokens = 0
+        self._build_step()
+
+    # ------------------------------------------------------------------ step
+
+    def _build_step(self):
+        task = self.model
+        if self.single_optimizer:
+            lr = float(self.config.TRAINER.get("LR", 1e-4))
+            self.opts = {"all": optax.inject_hyperparams(optax.adam)(learning_rate=lr)}
+        else:
+            self.opts = {
+                "detector": optax.inject_hyperparams(optax.adam)(learning_rate=self.detector_lr),
+                "fusion": optax.inject_hyperparams(optax.adam)(learning_rate=self.supervisor_lr),
+            }
+
+        grads_fn = (
+            data_parallel_grads(task, self.mesh) if self.mesh is not None else task.grads_and_metrics
+        )
+
+        def train_step(params, frozen, opt_states, batch, rng, sup_lr_scale):
+            grads, metrics = grads_fn(params, frozen, batch, rng)
+            grads, gnorm = global_norm_clip(grads, self.grad_clip)
+            metrics["grad_norm"] = gnorm
+            new_params = dict(params)
+            new_opt_states = dict(opt_states)
+            if self.single_optimizer:
+                st = opt_states["all"]
+                st.hyperparams["learning_rate"] = jnp.asarray(
+                    float(self.config.TRAINER.get("LR", 1e-4)) * sup_lr_scale
+                )
+                upd, st = self.opts["all"].update(grads, st, params)
+                new_params = optax.apply_updates(params, upd)
+                new_opt_states = {"all": st}
+            else:
+                std = opt_states["detector"]
+                upd_d, std = self.opts["detector"].update(
+                    grads["detector"], std, params["detector"]
+                )
+                new_params["detector"] = optax.apply_updates(params["detector"], upd_d)
+                new_opt_states["detector"] = std
+                if "fusion" in params:
+                    sts = opt_states["fusion"]
+                    sts.hyperparams["learning_rate"] = jnp.asarray(
+                        self.supervisor_lr * sup_lr_scale, jnp.float32
+                    )
+                    upd_s, sts = self.opts["fusion"].update(
+                        grads["fusion"], sts, params["fusion"]
+                    )
+                    new_params["fusion"] = optax.apply_updates(params["fusion"], upd_s)
+                    new_opt_states["fusion"] = sts
+            return new_params, new_opt_states, metrics
+
+        self._train_step = jax.jit(train_step)
+        self._eval_step = jax.jit(task.eval_metrics)
+
+    # ------------------------------------------------------------------ train
+
+    def init_state(self, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(42)
+        params, frozen = self.model.init(rng)
+        if self.single_optimizer:
+            opt_states = {"all": self.opts["all"].init(params)}
+        else:
+            opt_states = {"detector": self.opts["detector"].init(params["detector"])}
+            if "fusion" in params:
+                opt_states["fusion"] = self.opts["fusion"].init(params["fusion"])
+        return params, frozen, opt_states
+
+    def _lr_scale(self):
+        if not self.lr_decay:
+            return 1.0
+        if self.tokens < self.warmup_tokens:
+            return float(self.tokens) / float(max(1, self.warmup_tokens))
+        progress = float(self.tokens - self.warmup_tokens) / float(
+            max(1, self.final_tokens - self.warmup_tokens)
+        )
+        return max(0.1, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+    def train(self, max_epochs=None, rng=None):
+        max_epochs = max_epochs if max_epochs is not None else self.max_epochs
+        params, frozen, opt_states = self.init_state(rng)
+        key = jax.random.PRNGKey(1234)
+
+        def run_epoch(split, params, opt_states, key, epoch):
+            is_train = split == "train"
+            ds = self.train_dataset if is_train else self.test_dataset
+            loader = EpisodeLoader(
+                ds, self.batch_size, shuffle=is_train, num_workers=self.num_workers,
+                seed=epoch,
+            )
+            losses = []
+            for it, batch in enumerate(loader):
+                key, sub = jax.random.split(key)
+                db = {k: v for k, v in batch.items() if k != "initial_image_path"}
+                if self.mesh is not None:
+                    db = shard_batch(db, self.mesh)
+                if is_train:
+                    scale = self._lr_scale()
+                    params, opt_states, metrics = self._train_step(
+                        params, frozen, opt_states, db, sub, scale
+                    )
+                    self.tokens += batch["frames"].shape[0] * batch["frames"].shape[1]
+                    self.logger.add_value("Train/LR", self.supervisor_lr * scale)
+                else:
+                    metrics = self._eval_step(params, frozen, db, sub)
+                prefix = "Train" if is_train else "Test"
+                for k, v in metrics.items():
+                    self.logger.add_value(f"{prefix}/{k}", float(v))
+                losses.append(float(metrics["total_loss"]))
+            return params, opt_states, key, (sum(losses) / max(1, len(losses)))
+
+        def run_evaluation(params, opt_states, key, epoch):
+            params, opt_states, key, test_loss = run_epoch("test", params, opt_states, key, epoch)
+            if self.evaluator is not None:
+                ap50, ap, tp, fp, fn = self.evaluator.evaluate(
+                    save_results=False, params=params, frozen=frozen
+                )
+                for name, v in [("mAP_50", ap50), ("mAP", ap), ("TP", tp), ("FP", fp), ("FN", fn)]:
+                    self.logger.add_value(f"Test/{name}", v)
+            return params, opt_states, key
+
+        params, opt_states, key = run_evaluation(params, opt_states, key, 0)
+        self.logger.log_values()
+        for epoch in range(1, max_epochs):
+            t0 = time.time()
+            params, opt_states, key, train_loss = run_epoch("train", params, opt_states, key, epoch)
+            params, opt_states, key = run_evaluation(params, opt_states, key, epoch)
+            self.logger.add_value("Train/epoch_seconds", time.time() - t0)
+            means = self.logger.log_values()
+            print(f"epoch {epoch}: train loss {train_loss:.5f} ({time.time()-t0:.1f}s)")
+            if self.save_window and max_epochs - epoch <= self.save_window:
+                self.avg.add(params, 1.0 / self.save_window)
+            save_pytree(
+                os.path.join(self.out_dir, "last_state.ckpt"),
+                {"params": params, "opt": opt_states, "epoch": epoch, "tokens": self.tokens},
+            )
+        final = self.avg.value(like=jax.device_get(params))
+        save_pytree(self.checkpoint_path, final if final is not None else jax.device_get(params))
+        return params, frozen

@@ -106,6 +106,21 @@ class TransformerDecoderStack(nn.Module):
         return LayerNorm(name="norm")(tgt)
 
 
+class TinyBackbone(nn.Module):
+    """Stride-16 two-conv stand-in for CPU tests and CI smoke runs — same
+    output-stride contract as ResNet-50-DC5, a fraction of the FLOPs."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from interactron_tpu.models.layers import Conv2d
+
+        x = nn.relu(Conv2d(32, (5, 5), (4, 4), 2, dtype=self.dtype, name="conv1")(x))
+        x = nn.relu(Conv2d(64, (5, 5), (4, 4), 2, dtype=self.dtype, name="conv2")(x))
+        return x
+
+
 class DETR(nn.Module):
     """Full detector.
 
@@ -124,6 +139,7 @@ class DETR(nn.Module):
     num_decoder_layers: int = 6
     ff_dim: int = 2048
     dropout_rate: float = 0.1
+    backbone: str = "resnet50"  # "resnet50" | "tiny" (tests/CI)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -131,7 +147,10 @@ class DETR(nn.Module):
         if decoder_deterministic is None:
             decoder_deterministic = deterministic
         b = images.shape[0]
-        feats = ResNet50DC5(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
+        if self.backbone == "tiny":
+            feats = TinyBackbone(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
+        else:
+            feats = ResNet50DC5(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
         h, w = feats.shape[1], feats.shape[2]
         src = Dense(self.d_model, dtype=self.dtype, name="input_proj")(feats)  # 1x1 conv == dense over channels
         src = src.reshape(b, h * w, self.d_model)

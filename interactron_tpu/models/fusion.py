@@ -192,9 +192,9 @@ class FusionXAttn(nn.Module):
     def __call__(self, x, deterministic=True):
         img, pred_emb = _embed_inputs(x, self.embed_dim, self.dtype)
         b, s, p, e = pred_emb.shape
-        img_len = C.FEAT_HW * C.FEAT_HW
+        img_len = x["embedded_memory_features"].shape[2]
         mem_len = C.NUM_FRAMES * img_len
-        tgt_len = C.NUM_FRAMES * C.NUM_QUERIES + C.NUM_FRAMES  # 255
+        tgt_len = C.NUM_FRAMES * p + C.NUM_FRAMES  # 255 at p=50
 
         action_tokens = self.param(
             "action_tokens", _kaiming_uniform_3d, (1, C.NUM_FRAMES, self.embed_dim)
@@ -209,9 +209,10 @@ class FusionXAttn(nn.Module):
         )
 
         # fixed sincos memory positions (new_transformer.py:60-73)
+        grid = int(round(img_len ** 0.5))
         pos = np.zeros((mem_len, self.embed_dim), np.float32)
         img_pos = np.zeros((img_len, self.embed_dim), np.float32)
-        img_pos[:, : self.embed_dim // 2] = sincos_2d(self.embed_dim // 2, C.FEAT_HW)
+        img_pos[:, : self.embed_dim // 2] = sincos_2d(self.embed_dim // 2, grid)
         seq_pos = np.zeros((C.NUM_FRAMES, self.embed_dim), np.float32)
         seq_pos[:, self.embed_dim // 2 :] = sincos_1d(self.embed_dim // 2, np.arange(C.NUM_FRAMES))
         for i in range(C.NUM_FRAMES):

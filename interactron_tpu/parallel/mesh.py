@@ -1,0 +1,79 @@
+"""Device mesh + sharding helpers.
+
+Episode-level data parallelism is the primary axis (SURVEY.md §2.10): the
+batch shards over 'dp', params replicate, and gradients are psum'd over ICI
+by shard_map. An optional 'tp' axis tensor-shards the wide classifier heads
+(1236-way) for the GSPMD path used by the multi-chip dry run and the scaled
+configs.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, dp=None, tp=1):
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def batch_spec():
+    return P("dp")
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh):
+    s = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def _is_head_kernel(path):
+    names = [str(getattr(p, "key", p)) for p in path]
+    joined = "/".join(names)
+    return joined.endswith("kernel") and (
+        "class_embed" in joined or "logit_decoder" in joined
+    )
+
+
+def param_shardings(params, mesh):
+    """Replicate everything except the wide classifier-head kernels, which
+    shard over 'tp' on their output dim."""
+
+    def spec(path, leaf):
+        if _is_head_kernel(path) and mesh.shape["tp"] > 1 and leaf.ndim == 2:
+            return NamedSharding(mesh, P(None, "tp"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def data_parallel_grads(task, mesh):
+    """Wrap task.grads_and_metrics in a shard_map over 'dp': each device
+    processes its episode shard, grads psum, metrics pmean."""
+    from jax.experimental.shard_map import shard_map
+
+    def local_fn(params, frozen, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        g, m = task.grads_and_metrics(params, frozen, batch, rng)
+        g = jax.lax.psum(g, "dp")
+        m = jax.lax.pmean(m, "dp")
+        return g, m
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("dp"), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )

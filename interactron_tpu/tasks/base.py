@@ -1,0 +1,171 @@
+"""Task-model base: builds the Flax modules from a config and exposes the
+pure functions the engine jits.
+
+Uniform contract (the TPU-native analog of the reference's duck-typed
+forward/predict/get_next_action surface, SURVEY.md §2.5):
+
+  * init(rng) -> (params, frozen): trainable / non-trainable pytrees.
+  * grads_and_metrics(params, frozen, batch, rng) -> (grads, metrics):
+    whole-batch gradient accumulation (the reference accumulates grads by
+    calling .backward() inside forward; here the sum-over-episodes gradient
+    is produced directly).
+  * predict(params, frozen, episode) -> output dict for the evaluators.
+
+Batch layout (fixed shapes, episode-major):
+  frames  (b, s, H, W, 3) float32, ImageNet-normalized
+  actions (b, s) int32
+  labels  (b, s, M) int32       boxes (b, s, M, 4) cxcywh normalized
+  valid   (b, s, M) bool        episode_uid (b,) int32
+"""
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from interactron_tpu.models.criterion import set_criterion
+from interactron_tpu.models.detr import DETR
+from interactron_tpu.models.fusion import build_fusion
+from interactron_tpu.utils import constants as C
+
+
+def _resolve_dtype(config):
+    name = None
+    if hasattr(config.MODEL, "DTYPE"):
+        name = config.MODEL.DTYPE
+    return {None: jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+class TaskModel:
+    needs_fusion = False
+
+    def __init__(self, config):
+        self.config = config
+        self.dtype = _resolve_dtype(config)
+        m = config.MODEL
+        self.num_classes = m.NUM_CLASSES
+        self.img_size = int(m.get("TEST_RESOLUTION", C.IMG_SIZE))
+        self.feat_hw = self.img_size // 16
+        self.max_boxes = None  # set after detector build
+        self.detector = DETR(
+            num_classes=m.NUM_CLASSES,
+            num_queries=int(m.get("NUM_QUERIES", C.NUM_QUERIES)),
+            d_model=int(m.get("D_MODEL", 256)),
+            num_heads=int(m.get("DETR_NUM_HEADS", 8)),
+            num_encoder_layers=int(m.get("NUM_ENCODER_LAYERS", 6)),
+            num_decoder_layers=int(m.get("NUM_DECODER_LAYERS", 6)),
+            ff_dim=int(m.get("DETR_FF_DIM", 2048)),
+            backbone=m.get("BACKBONE", "resnet50"),
+            dtype=self.dtype,
+        )
+        self.max_boxes = min(C.MAX_BOXES, self.detector.num_queries)
+        self.fusion = build_fusion(config, dtype=self.dtype) if self.needs_fusion else None
+        self.cost_class = float(m.get("SET_COST_CLASS", 1.0))
+        self.cost_bbox = float(m.get("SET_COST_BBOX", 5.0))
+        self.cost_giou = float(m.get("SET_COST_GIOU", 2.0))
+        self.adaptive_lr = float(m.get("ADAPTIVE_LR", 1e-3))
+        self.inner_batch = int(config.TRAINER.get("INNER_BATCH", 1)) if hasattr(config, "TRAINER") else 1
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng):
+        kd, kf = jax.random.split(rng)
+        dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+        dvars = self.detector.init({"params": kd}, dummy, deterministic=True)
+        params = {"detector": dvars["params"]}
+        frozen = {"detector": dvars.get("frozen", {})}
+        if self.fusion is not None:
+            nq = self.detector.num_queries
+            fusion_in = {
+                "embedded_memory_features": jnp.zeros(
+                    (1, C.NUM_FRAMES, self.feat_hw * self.feat_hw, self.detector.d_model),
+                    jnp.float32,
+                ),
+                "box_features": jnp.zeros(
+                    (1, C.NUM_FRAMES, nq, self.detector.d_model), jnp.float32
+                ),
+                "pred_logits": jnp.zeros(
+                    (1, C.NUM_FRAMES, nq, self.num_classes + 1), jnp.float32
+                ),
+                "pred_boxes": jnp.zeros((1, C.NUM_FRAMES, nq, 4), jnp.float32),
+            }
+            fvars = self.fusion.init({"params": kf}, fusion_in, deterministic=True)
+            params["fusion"] = fvars["params"]
+        return params, frozen
+
+    # ------------------------------------------------------------- module fns
+
+    def detr_apply(self, det_params, frozen, images, *, deterministic=True,
+                   decoder_deterministic=None, rng=None):
+        variables = {"params": det_params, "frozen": frozen["detector"]}
+        rngs = None if deterministic and (decoder_deterministic in (None, True)) else {"dropout": rng}
+        return self.detector.apply(
+            variables,
+            images,
+            deterministic=deterministic,
+            decoder_deterministic=decoder_deterministic,
+            rngs=rngs,
+        )
+
+    def fusion_apply(self, fus_params, detr_out, *, deterministic=True, rng=None):
+        """detr_out: per-frame outputs (s, ...) -> fusion with batch dim 1."""
+        x = {
+            "embedded_memory_features": detr_out["embedded_memory_features"][None],
+            "box_features": detr_out["box_features"][None],
+            "pred_logits": detr_out["pred_logits"][None],
+            "pred_boxes": detr_out["pred_boxes"][None],
+        }
+        rngs = None if deterministic else {"dropout": rng}
+        return self.fusion.apply({"params": fus_params}, x, deterministic=deterministic, rngs=rngs)
+
+    def criterion(self, outputs, targets, **kw):
+        kw.setdefault("num_classes", self.num_classes)
+        kw.setdefault("cost_class", self.cost_class)
+        kw.setdefault("cost_bbox", self.cost_bbox)
+        kw.setdefault("cost_giou", self.cost_giou)
+        return set_criterion(outputs, targets, **kw)
+
+    # -------------------------------------------------------------- utilities
+
+    @staticmethod
+    def episode_targets(batch, i=None):
+        """Slice targets for one episode (s frames as the criterion batch)."""
+        sel = (lambda x: x) if i is None else (lambda x: x[i])
+        return {
+            "labels": sel(batch["labels"]),
+            "boxes": sel(batch["boxes"]),
+            "valid": sel(batch["valid"]),
+        }
+
+    @staticmethod
+    def rename(losses, prefix):
+        """k.replace('loss', f'loss_{prefix}') — matching the reference's
+        string surgery incl. leaving *_error keys untouched
+        (interactron.py:142-147)."""
+        return {k.replace("loss", f"loss_{prefix}"): v for k, v in losses.items()}
+
+
+def tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_zeros_like(t):
+    return jax.tree_util.tree_map(jnp.zeros_like, t)
+
+
+def scan_microbatches(fn, batch, num_micro, carry_init):
+    """Split the episode axis into `num_micro` chunks and scan `fn` over
+    them, accumulating (grads, metrics) sums in the carry."""
+    b = batch["frames"].shape[0]
+    assert b % num_micro == 0, f"batch {b} not divisible by {num_micro} microbatches"
+    mb = b // num_micro
+    stacked = jax.tree_util.tree_map(
+        lambda x: x.reshape(num_micro, mb, *x.shape[1:]), batch
+    )
+
+    def body(carry, mb_batch):
+        return fn(carry, mb_batch), None
+
+    carry, _ = jax.lax.scan(body, carry_init, stacked)
+    return carry

@@ -1,0 +1,257 @@
+"""Adaptive meta-learning tasks: `interactron_random` and full `interactron`.
+
+Per-episode semantics follow interactron.py:61-151 / interactron_random.py:57-132
+exactly, re-expressed functionally (SURVEY.md §3.2):
+
+  supervisor (second-order) path — detector params STOPPED (the reference's
+  detach_parameters):
+      g     = grad_det ||fusion.loss(detr(sg(det), frames))||2
+      fast2 = sg(det) - clip(lr*g, ±0.01)
+      L_sup = criterion(detr(fast2, frames), all 5 labels)  [+ policy CE]
+      -> d L_sup / d fusion flows through g (create_graph=True analog)
+
+  detector (first-order) path — g STOPPED (detach_gradients):
+      fast1 = det - clip(lr*sg(g), ±0.01)
+      L_det = criterion(detr(fast1, frame[ridx]), labels[ridx]), ridx ~ U{0..4}
+
+  policy supervision (interactron only, interactron.py:105-123): the frame-0
+  ground-truth loss of the adapted detector is the path reward; a host-side
+  prefix tree returns best-path labels via an ordered io_callback placed
+  BETWEEN jax.vjp's forward and backward, so the label lookup sees the
+  current episode's reward (the reference's serial in-batch ordering) while
+  the CE gradient enters through the action-logits cotangent.
+
+Gradients accumulate as sums over episodes (the reference backwards per
+episode), scanned over microbatches with the episode body rematerialized.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import io_callback
+
+from interactron_tpu.meta import clipped_sgd_step, learned_loss_value
+from interactron_tpu.tasks.base import (
+    TaskModel,
+    scan_microbatches,
+    tree_add,
+    tree_zeros_like,
+)
+from interactron_tpu.utils import constants as C
+from interactron_tpu.utils.path_storage import PathStorageBank
+
+_SUP_KEYS = ["loss_ce", "loss_bbox", "loss_giou", "cardinality_error", "class_error"]
+
+
+def _weighted(losses):
+    """ce + 5*giou + 2*bbox (interactron.py:108/121/133)."""
+    return losses["loss_ce"] + 5.0 * losses["loss_giou"] + 2.0 * losses["loss_bbox"]
+
+
+class InteractronRandomTask(TaskModel):
+    needs_fusion = True
+    with_policy = False
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.path_bank = PathStorageBank()
+
+    # --------------------------------------------------------------- episode
+
+    def _episode_fwd(self, params, frozen, ep, key, train):
+        det_p = params["detector"]
+        fus_p = params["fusion"]
+        kr, k1, k2, k3, k4 = jax.random.split(key, 5)
+        ridx = jax.random.randint(kr, (), 0, C.NUM_FRAMES)
+        det_sg = jax.lax.stop_gradient(det_p)
+
+        def inner(dp):
+            out = self.detr_apply(
+                dp, frozen, ep["frames"], deterministic=not train, rng=k1
+            )
+            fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
+            return learned_loss_value(fus), fus
+
+        (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_sg)
+
+        # ---- supervisor (second-order) path
+        fast2 = clipped_sgd_step(det_sg, g, self.adaptive_lr)
+        post = self.detr_apply(
+            fast2, frozen, ep["frames"], deterministic=not train, rng=k3
+        )
+        targets = {"labels": ep["labels"], "boxes": ep["boxes"], "valid": ep["valid"]}
+        sup_losses = self.criterion(
+            {"pred_logits": post["pred_logits"], "pred_boxes": post["pred_boxes"]}, targets
+        )
+        sup_loss = _weighted(sup_losses)
+
+        # frame-0 ground-truth loss of the adapted detector = policy reward
+        f0_out = {
+            "pred_logits": post["pred_logits"][0:1],
+            "pred_boxes": post["pred_boxes"][0:1],
+        }
+        f0_tgt = {k: v[0:1] for k, v in targets.items()}
+        gt_losses = self.criterion(f0_out, f0_tgt)
+        reward = jax.lax.stop_gradient(_weighted(gt_losses))
+
+        # ---- detector (first-order) path
+        fast1 = clipped_sgd_step(det_p, jax.lax.stop_gradient(g), self.adaptive_lr)
+        fr = jax.lax.dynamic_slice_in_dim(ep["frames"], ridx, 1, axis=0)
+        tgt_r = {
+            k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
+        }
+        det_out = self.detr_apply(fast1, frozen, fr, deterministic=not train, rng=k4)
+        det_losses = self.criterion(
+            {"pred_logits": det_out["pred_logits"], "pred_boxes": det_out["pred_boxes"]}, tgt_r
+        )
+        det_loss = _weighted(det_losses)
+
+        main = sup_loss + det_loss
+        aux = {
+            "reward": reward,
+            "sup": jax.lax.stop_gradient(sup_losses),
+            "det": jax.lax.stop_gradient(det_losses),
+        }
+        action_logits = fus_out["actions"][0]  # (4, 4)
+        return main, action_logits, aux
+
+    # ----------------------------------------------------------------- grads
+
+    def _mb_fwd(self, params, frozen, mb_batch, keys, train):
+        def one(frames, labels, boxes, valid, key):
+            ep = {"frames": frames, "labels": labels, "boxes": boxes, "valid": valid}
+            return self._episode_fwd(params, frozen, ep, key, train)
+
+        mains, logits, aux = jax.vmap(one)(
+            mb_batch["frames"], mb_batch["labels"], mb_batch["boxes"], mb_batch["valid"], keys
+        )
+        return (jnp.sum(mains), logits), aux
+
+    def _policy_piece(self, logits, aux, mb_batch):
+        """Returns (loss_path per-episode, action-logits cotangent). The
+        random variant has no policy loss."""
+        mb = logits.shape[0]
+        if not self.with_policy:
+            return jnp.zeros((mb,)), jnp.zeros_like(logits)
+        best = io_callback(
+            self.path_bank.update_and_label,
+            jax.ShapeDtypeStruct((mb, C.NUM_ACTIONS), jnp.int32),
+            aux["reward"],
+            mb_batch["actions"][:, : C.NUM_ACTIONS],
+            mb_batch["episode_uid"],
+            ordered=True,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)  # (mb, 4, 4)
+        onehot = jax.nn.one_hot(best, C.NUM_ACTIONS)
+        loss_path = -jnp.sum(onehot * logp, axis=(1, 2)) / C.NUM_ACTIONS
+        ce_grad = (jax.nn.softmax(logits, axis=-1) - onehot) / C.NUM_ACTIONS
+        return loss_path, ce_grad
+
+    def _metric_zeros(self):
+        z = jnp.zeros(())
+        m = {f"sup_{k}": z for k in _SUP_KEYS}
+        m.update({f"det_{k}": z for k in _SUP_KEYS})
+        m.update({"total_loss": z, "policy_reward": z, "loss_path": z})
+        return m
+
+    def _accumulate_metrics(self, m_acc, aux, loss_path, total):
+        for k in _SUP_KEYS:
+            m_acc[f"sup_{k}"] = m_acc[f"sup_{k}"] + jnp.sum(aux["sup"][k])
+            m_acc[f"det_{k}"] = m_acc[f"det_{k}"] + jnp.sum(aux["det"][k])
+        m_acc["policy_reward"] = m_acc["policy_reward"] + jnp.sum(aux["reward"])
+        m_acc["loss_path"] = m_acc["loss_path"] + jnp.sum(loss_path)
+        m_acc["total_loss"] = m_acc["total_loss"] + total
+        return m_acc
+
+    def _finalize_metrics(self, m, b):
+        out = {}
+        for k in _SUP_KEYS:
+            out[k.replace("loss", "loss_detector") if "loss" in k else k] = m[f"det_{k}"] / b
+        for k in _SUP_KEYS:
+            out[k.replace("loss", "loss_supervisor") if "loss" in k else k] = m[f"sup_{k}"] / b
+        if self.with_policy:
+            out["loss_supervisor_path"] = m["loss_path"] / b
+            out["policy_reward"] = m["policy_reward"] / b
+        out["total_loss"] = m["total_loss"] / b
+        return out
+
+    def grads_and_metrics(self, params, frozen, batch, rng):
+        b = batch["frames"].shape[0]
+        mb = max(1, self.inner_batch)
+        num_micro = max(1, b // mb)
+
+        def step(carry, mb_batch):
+            g_acc, m_acc, key = carry
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, mb_batch["frames"].shape[0])
+            f = lambda p: self._mb_fwd(p, frozen, mb_batch, keys, True)
+            (loss_sum, logits), vjp_fn, aux = jax.vjp(f, params, has_aux=True)
+            loss_path, ce_grad = self._policy_piece(logits, aux, mb_batch)
+            (g,) = vjp_fn((jnp.ones(()), ce_grad))
+            total = loss_sum + jnp.sum(loss_path)
+            m_acc = self._accumulate_metrics(m_acc, aux, loss_path, total)
+            return (tree_add(g_acc, g), m_acc, key)
+
+        g, m, _ = scan_microbatches(
+            step, batch, num_micro, (tree_zeros_like(params), self._metric_zeros(), rng)
+        )
+        return g, self._finalize_metrics(m, b)
+
+    def eval_metrics(self, params, frozen, batch, rng):
+        """Test-epoch losses (dropout off, path storage still updated —
+        interactron_trainer.py:140-141 runs the same forward)."""
+        b = batch["frames"].shape[0]
+        mb = max(1, self.inner_batch)
+        num_micro = max(1, b // mb)
+
+        def step(carry, mb_batch):
+            _, m_acc, key = carry
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, mb_batch["frames"].shape[0])
+            (loss_sum, logits), aux = self._mb_fwd(params, frozen, mb_batch, keys, False)
+            loss_path, _ = self._policy_piece(logits, aux, mb_batch)
+            total = loss_sum + jnp.sum(loss_path)
+            m_acc = self._accumulate_metrics(m_acc, aux, loss_path, total)
+            return (carry[0], m_acc, key)
+
+        _, m, _ = scan_microbatches(
+            step, batch, num_micro, (jnp.zeros(()), self._metric_zeros(), rng)
+        )
+        return self._finalize_metrics(m, b)
+
+    # ------------------------------------------------------------ prediction
+
+    def predict(self, params, frozen, episode):
+        """One adaptive step on the episode, then detect on frame 0
+        (interactron.py:31-59)."""
+        frames = episode["frames"][0]
+        det_p = params["detector"]
+
+        def inner(dp):
+            out = self.detr_apply(dp, frozen, frames, deterministic=True)
+            fus = self.fusion_apply(params["fusion"], out, deterministic=True)
+            return learned_loss_value(fus)
+
+        g = jax.grad(inner)(jax.lax.stop_gradient(det_p))
+        fast = clipped_sgd_step(det_p, g, self.adaptive_lr)
+        out0 = self.detr_apply(fast, frozen, frames[0:1], deterministic=True)
+        return {
+            "pred_logits": out0["pred_logits"][None],
+            "pred_boxes": out0["pred_boxes"][None],
+        }
+
+
+class InteractronTask(InteractronRandomTask):
+    """Full interactron: learned policy + learned loss (models/interactron.py)."""
+
+    with_policy = True
+
+    def next_action(self, params, frozen, episode):
+        """Policy rollout step: fusion action logits at token s-1
+        (interactron.py:174-197)."""
+        frames = episode["frames"][0]  # (s, H, W, 3), s in 1..4
+        s = frames.shape[0]
+        out = self.detr_apply(params["detector"], frozen, frames, deterministic=True)
+        fus = self.fusion_apply(params["fusion"], out, deterministic=True)
+        return jnp.argmax(fus["actions"][0, s - 1], axis=-1)

@@ -1,0 +1,24 @@
+"""Training entry point — same public surface as the reference train.py:13-24:
+seed everything with 42, build model/evaluator/trainer from the YAML, train.
+"""
+
+import random
+
+import numpy as np
+
+from interactron_tpu.utils.config import build_evaluator, build_model, build_trainer, get_args, get_config
+
+
+def train():
+    args = get_args()
+    random.seed(42)
+    np.random.seed(42)
+    config = get_config(args.config_file)
+    model = build_model(config)
+    evaluator = build_evaluator(model, config, load_checkpoint=False)
+    trainer = build_trainer(model, config, evaluator=evaluator)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    train()
