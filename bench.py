@@ -6,41 +6,49 @@ tokens, learned-loss gradient through the detector, clipped SGD adaptation,
 adapted detection on frame 0 — i.e. the `predict` step the AP evaluation
 runs (interactron.py:31-59), batched across episodes.
 
+Methodology: through the axon tunnel `block_until_ready` can acknowledge
+before device completion once the pipeline is warm, so each timed iteration
+feeds a scalar derived from the previous output back into the next input
+(a device-side dependency chain) and the loop ends with a single scalar
+host fetch. This bounds the true per-call device latency from above by
+(total - one fetch)/iters.
+
 Baseline anchor: the reference publishes no episodes/sec number; its only
-wall-clock anchors are ~5 days RTX-3090 training (README.md:55-56) for 2000
-epochs x 1000 episodes (~4.6 episodes/s for the heavier train step) and a
-"several minutes" CPU eval. We take 5.0 episodes/s as the RTX-3090 predict
-estimate; the north-star target is >20x that => 100 episodes/s/chip
-(BASELINE.md). vs_baseline = value / 100.
+wall-clock anchors are ~5 days RTX-3090 training for 2000 epochs x 1000
+episodes (~4.6 episodes/s of the heavier train step, README.md:55-56). We
+take 5.0 episodes/s as the RTX-3090 predict estimate; the north-star target
+is >20x that => 100 episodes/s/chip (BASELINE.md). vs_baseline = value/100.
 """
 
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
+BATCH = 8
+ITERS = 8
 
 
-def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    except Exception:
-        pass
+def build(flash):
+    from interactron_tpu.ops.attention import set_flash_attention
     from interactron_tpu.tasks import InteractronTask
     from interactron_tpu.utils.config import get_config
     from __graft_entry__ import _episode_batch
 
+    set_flash_attention(flash)
     cfg = get_config("configs/interactron.yaml")
     task = InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
 
-    bench_batch = 8  # episodes per predict call
-    rng = np.random.RandomState(0)
+    def step(params, frozen, batch, chain):
+        # device-side dependency: mix the previous output into the input
+        batch = dict(batch)
+        batch["frames"] = batch["frames"] + chain * 1e-9
 
-    def batched_predict(params, frozen, batch):
         def one(frames, labels, boxes, valid):
             ep = {
                 "frames": frames[None],
@@ -50,36 +58,59 @@ def main():
             }
             return task.predict(params, frozen, ep)
 
-        return jax.vmap(one)(
+        out = jax.vmap(one)(
             batch["frames"], batch["labels"], batch["boxes"], batch["valid"]
         )
+        new_chain = jnp.sum(out["pred_boxes"]) * 0.0 + jnp.max(out["pred_logits"]) * 1e-6
+        return out, new_chain
 
-    fn = jax.jit(batched_predict)
+    fn = jax.jit(step)
     batch = _episode_batch(
-        rng, bench_batch, 5, task.img_size, task.max_boxes, task.num_classes
+        np.random.RandomState(0), BATCH, 5, task.img_size, task.max_boxes, task.num_classes
     )
-    batch = {k: jax.device_put(v) for k, v in batch.items() if k != "actions" and k != "episode_uid"}
+    batch = {
+        k: jax.device_put(v)
+        for k, v in batch.items()
+        if k not in ("actions", "episode_uid")
+    }
+    return fn, params, frozen, batch
 
-    # warmup / compile
-    out = fn(params, frozen, batch)
-    jax.block_until_ready(out)
 
-    iters = 5
+def measure(fn, params, frozen, batch):
+    chain = jnp.zeros(())
+    out, chain = fn(params, frozen, batch, chain)
+    _ = float(chain)  # warm + compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, frozen, batch)
-    jax.block_until_ready(out)
+    for _ in range(ITERS):
+        out, chain = fn(params, frozen, batch, chain)
+    _ = float(chain)  # single scalar fetch syncs the whole chain
     dt = time.perf_counter() - t0
-    eps_per_sec = bench_batch * iters / dt
+    return BATCH * ITERS / dt
 
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    except Exception:
+        pass
+    results = {}
+    for flash in (False, True):
+        fn, params, frozen, batch = build(flash)
+        results[flash] = measure(fn, params, frozen, batch)
+    eps = max(results.values())
     target = REF_3090_EPISODES_PER_SEC * TARGET_MULTIPLE
     print(
         json.dumps(
             {
                 "metric": "adaptive_5frame_episodes_per_sec_per_chip",
-                "value": round(eps_per_sec, 3),
+                "value": round(eps, 3),
                 "unit": "episodes/s",
-                "vs_baseline": round(eps_per_sec / target, 4),
+                "vs_baseline": round(eps / target, 4),
+                "detail": {
+                    "xla_attention": round(results[False], 2),
+                    "pallas_flash_attention": round(results[True], 2),
+                    "batch": BATCH,
+                },
             }
         )
     )

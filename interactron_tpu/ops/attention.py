@@ -49,7 +49,14 @@ def dot_product_attention(
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
 
-    if _USE_PALLAS and key_padding_mask is None and deterministic:
+    # Pallas fused kernel: no mask/dropout support; only worth it when the
+    # attention area is large enough that the HBM logits buffer dominates.
+    if (
+        _USE_PALLAS
+        and key_padding_mask is None
+        and (deterministic or dropout_rate == 0.0)
+        and q.shape[2] * k.shape[2] >= 128 * 512
+    ):
         from interactron_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(q, k, v)
