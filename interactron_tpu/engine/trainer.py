@@ -173,9 +173,20 @@ class Trainer:
         )
         return max(0.1, 0.5 * (1.0 + math.cos(math.pi * progress)))
 
-    def train(self, max_epochs=None, rng=None):
+    def train(self, max_epochs=None, rng=None, resume_from=None):
         max_epochs = max_epochs if max_epochs is not None else self.max_epochs
         params, frozen, opt_states = self.init_state(rng)
+        start_epoch = 1
+        resume_from = resume_from or self.config.TRAINER.get("RESUME_FROM")
+        if resume_from and os.path.exists(resume_from):
+            state = load_pytree(
+                resume_from,
+                {"params": params, "opt": opt_states, "epoch": 0, "tokens": 0},
+            )
+            params, opt_states = state["params"], state["opt"]
+            start_epoch = int(state["epoch"]) + 1
+            self.tokens = int(state["tokens"])
+            print(f"resumed from {resume_from} at epoch {start_epoch}")
         key = jax.random.PRNGKey(1234)
 
         def run_epoch(split, params, opt_states, key, epoch):
@@ -218,7 +229,7 @@ class Trainer:
 
         params, opt_states, key = run_evaluation(params, opt_states, key, 0)
         self.logger.log_values()
-        for epoch in range(1, max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
             params, opt_states, key, train_loss = run_epoch("train", params, opt_states, key, epoch)
             params, opt_states, key = run_evaluation(params, opt_states, key, epoch)
