@@ -42,9 +42,25 @@ class EpisodeDataset:
         self.max_boxes = max_boxes
         self.resolution = resolution
         self.rng = np.random.RandomState(seed)
+        # native decode fast path: only valid for the deterministic eval
+        # transform on images already at target resolution
+        self._native = None
+        if not train_aug:
+            from interactron_tpu.native import get_fastloader
+
+            self._native = get_fastloader()
 
     def __len__(self):
         return len(self.annotations["data"])
+
+    def _state_targets(self, scene, state_name):
+        state = scene["state_table"][state_name]
+        boxes, labels = [], []
+        for _, v in state["detections"].items():
+            labels.append(v["category_id"] + 1)
+            x, y, w, h = v["bbox"]
+            boxes.append([x, y, x + w, y + h])
+        return np.asarray(boxes, np.float32).reshape(-1, 4), np.asarray(labels, np.int64)
 
     def _load_state(self, scene, state_name, rng):
         img_path = os.path.join(self.img_dir, scene["scene_name"], state_name + ".jpg")
@@ -85,6 +101,42 @@ class EpisodeDataset:
         initial_image_path = os.path.join(
             self.img_dir, scene["scene_name"], scene["root"] + ".jpg"
         )
+        # native fast path: decode+normalize the whole episode in one call
+        state_names = [state_name]
+        for i in range(C.NUM_FRAMES - 1):
+            state_names.append(
+                scene["state_table"][state_names[-1]]["actions"][actions[i]]
+            )
+        if self._native is not None:
+            paths = [
+                os.path.join(self.img_dir, scene["scene_name"], s + ".jpg")
+                for s in state_names
+            ]
+            try:
+                imgs = self._native.load_images(paths, self.resolution)
+            except ValueError:
+                imgs = None
+            if imgs is not None:
+                for s in state_names:
+                    boxes, labels = self._state_targets(scene, s)
+                    from interactron_tpu.data.transforms import boxes_to_cxcywh_norm
+
+                    bn = boxes_to_cxcywh_norm(boxes, self.resolution, self.resolution)
+                    pb, pl, pv = self._pad_targets(bn, labels)
+                    b_list.append(pb)
+                    l_list.append(pl)
+                    v_list.append(pv)
+                return {
+                    "frames": imgs,
+                    "actions": np.asarray(
+                        [C.ACTIONS.index(a) for a in actions], np.int32
+                    ),
+                    "labels": np.stack(l_list),
+                    "boxes": np.stack(b_list),
+                    "valid": np.stack(v_list),
+                    "episode_uid": np.int32(idx),
+                    "initial_image_path": initial_image_path,
+                }
         for i in range(C.NUM_FRAMES):
             img, boxes, labels = self._load_state(scene, state_name, self.rng)
             pb, pl, pv = self._pad_targets(boxes, labels)

@@ -57,7 +57,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, t_real, scale):
         jax.lax.dot_general(p / denom, v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     ).astype(o_ref.dtype)
-    l_ref[0] = (m + jnp.log(denom))[:, 0]
+    l_ref[0, :, 0] = (m + jnp.log(denom))[:, 0]
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, scale):
@@ -65,8 +65,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, sca
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    L = l_ref[0][:, None]
-    D = d_ref[0][:, None]
+    L = l_ref[0]  # (BQ, 1)
+    D = d_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -87,8 +87,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *, t_
     k = k_ref[0].astype(jnp.float32)        # (BQ, hd)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)      # (T_pad, hd)
-    L = l_ref[0][:, None]                   # (T_pad, 1)
-    D = d_ref[0][:, None]
+    L = l_ref[0]                            # (T_pad, 1)
+    D = d_ref[0]
     logits_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale                               # (BQ, T_pad) == S^T block
@@ -97,7 +97,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *, t_
     if t_pad != t_real:
         col = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 1)
         logits_t = jnp.where(col < t_real, logits_t, _NEG)
-    p_t = jnp.exp(logits_t - L[:, 0][None, :])  # (BQ, T_pad)
+    p_t = jnp.exp(logits_t - L[:, 0][None, :])  # (BQ, T_pad); L col-bcast over k rows
     dv_ref[0] = jax.lax.dot_general(
         p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dv_ref.dtype)
@@ -136,7 +136,7 @@ def _fwd_impl(q, k, v):
         functools.partial(_fwd_kernel, t_real=s, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, t_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -146,7 +146,7 @@ def _fwd_impl(q, k, v):
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
     )(qf, kf, vf)
     return o, L
@@ -177,7 +177,7 @@ def _fa_bwd(res, g):
     kf = _flatten_pad(k, s_pad)
     vf = _flatten_pad(v, s_pad)
     gf = _flatten_pad(g, t_pad)
-    D = jnp.sum(gf.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)  # (bh, t_pad)
+    D = jnp.sum(gf.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)[..., None]  # (bh, t_pad, 1)
 
     grid_q = (b * h, t_pad // BLOCK_Q)
     dq = pl.pallas_call(
@@ -189,8 +189,8 @@ def _fa_bwd(res, g):
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
     )(qf, kf, vf, gf, L, D)
@@ -208,8 +208,8 @@ def _fa_bwd(res, g):
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),  # k blk
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),  # v blk
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # do full
-            pl.BlockSpec((1, t_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),          # L full
-            pl.BlockSpec((1, t_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),          # D full
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # L full
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # D full
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
