@@ -106,6 +106,28 @@ class TransformerDecoderStack(nn.Module):
         return LayerNorm(name="norm")(tgt)
 
 
+def postprocess(outputs, target_sizes):
+    """Convert raw outputs to absolute-coordinate detections — the
+    reference PostProcess surface (detr_models/detr.py:268-296): softmax
+    scores/labels over foreground classes, cxcywh -> xyxy, scale to image
+    size. target_sizes: (B, 2) [h, w].
+
+    Returns dict of arrays: scores (B, Q), labels (B, Q), boxes (B, Q, 4).
+    """
+    import jax
+
+    from interactron_tpu.ops.box_ops import box_cxcywh_to_xyxy
+
+    logits = outputs["pred_logits"].astype(jnp.float32)
+    prob = jax.nn.softmax(logits, axis=-1)
+    scores = jnp.max(prob[..., :-1], axis=-1)
+    labels = jnp.argmax(prob[..., :-1], axis=-1)
+    boxes = box_cxcywh_to_xyxy(outputs["pred_boxes"].astype(jnp.float32))
+    h, w = target_sizes[:, 0], target_sizes[:, 1]
+    scale = jnp.stack([w, h, w, h], axis=1)[:, None, :]
+    return {"scores": scores, "labels": labels, "boxes": boxes * scale}
+
+
 class TinyBackbone(nn.Module):
     """Stride-16 two-conv stand-in for CPU tests and CI smoke runs — same
     output-stride contract as ResNet-50-DC5, a fraction of the FLOPs."""

@@ -25,6 +25,17 @@ class MetricLogger:
     def add_value(self, name, value):
         self._buffer.setdefault(name, []).append(float(value))
 
+    def add_image(self, name, image_hwc):
+        """Write an image immediately (TBLogger.add_image parity); image is
+        (H, W, 3) uint8/float. No-op without TensorBoard."""
+        if self._tb is not None:
+            import numpy as np
+
+            img = np.asarray(image_hwc)
+            if img.dtype != "uint8":
+                img = (np.clip(img, 0, 1) * 255).astype("uint8")
+            self._tb.add_image(name, img, self._step, dataformats="HWC")
+
     def log_values(self):
         means = {k: sum(v) / len(v) for k, v in self._buffer.items() if v}
         rec = {"step": self._step, "time": time.time(), **means}
