@@ -20,11 +20,22 @@ import jax
 import jax.numpy as jnp
 
 
-def clipped_sgd_step(params, grads, lr, clip=0.01):
-    """One inner-loop update: p - clip(lr * g, -clip, +clip) per leaf."""
-    return jax.tree_util.tree_map(
-        lambda p, g: p - jnp.clip(lr * g, -clip, clip).astype(p.dtype), params, grads
-    )
+def clipped_sgd_step(params, grads, lr, clip=0.01, dtype=None):
+    """One inner-loop update: p - clip(lr * g, -clip, +clip) per leaf.
+
+    `dtype` (e.g. bfloat16) computes and stores the fast weights in reduced
+    precision: the adapted forward casts weights to the compute dtype anyway,
+    so this only moves the rounding earlier while halving the HBM traffic of
+    the per-episode grad/fast-weight trees — the dominant cost of the meta
+    step on TPU (see tools/perf_bisect.py findings)."""
+
+    def upd(p, g):
+        if dtype is not None:
+            p = p.astype(dtype)
+            g = g.astype(dtype)
+        return p - jnp.clip(lr * g, -clip, clip).astype(p.dtype)
+
+    return jax.tree_util.tree_map(upd, params, grads)
 
 
 def learned_loss_value(fusion_out):

@@ -165,14 +165,35 @@ class DETR(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images, deterministic=True, decoder_deterministic: Optional[bool] = None):
+    def __call__(
+        self,
+        images,
+        deterministic=True,
+        decoder_deterministic: Optional[bool] = None,
+        stage: str = "all",
+    ):
+        """stage="frozen_prefix": return the frozen stem+layer1 features of
+        `images` (a pure function of the input — no trainable params touched).
+        stage="from_prefix": `images` IS the prefix feature map; resume from
+        layer2. The meta inner loop uses this split to compute the frozen
+        prefix once per episode and share it between the pre-adaptive and
+        adapted passes (they differ only in trainable params)."""
         if decoder_deterministic is None:
             decoder_deterministic = deterministic
         b = images.shape[0]
         if self.backbone == "tiny":
+            # tiny test backbone is fully trainable: prefix is the identity
+            if stage == "frozen_prefix":
+                return images
             feats = TinyBackbone(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
         else:
-            feats = ResNet50DC5(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
+            bb = ResNet50DC5(dtype=self.dtype, name="backbone")
+            if stage == "frozen_prefix":
+                return bb(images.astype(self.dtype), stage="prefix")
+            if stage == "from_prefix":
+                feats = bb(images.astype(self.dtype), stage="trunk")
+            else:
+                feats = bb(images.astype(self.dtype))
         h, w = feats.shape[1], feats.shape[2]
         src = Dense(self.d_model, dtype=self.dtype, name="input_proj")(feats)  # 1x1 conv == dense over channels
         src = src.reshape(b, h * w, self.d_model)

@@ -51,17 +51,20 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50DC5(nn.Module):
-    """Returns the C5 feature map: (B, 19, 19, 2048) for 300x300 inputs."""
+    """Returns the C5 feature map: (B, 19, 19, 2048) for 300x300 inputs.
+
+    `stage` splits the network at its frozen/trainable boundary
+    (backbone.py:61-63): "prefix" runs only the frozen stem+layer1 (pure
+    function of the input — the meta loop computes it once per episode and
+    reuses it across the pre-adaptive/adapted passes), "trunk" resumes from
+    layer2 given prefix features, "all" is the full network.
+    """
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        # stem (frozen)
-        x = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, dtype=self.dtype, name="conv1")(x)
-        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+    def __call__(self, x, stage="all"):
+        assert stage in ("all", "prefix", "trunk")
 
         def layer(x, planes, blocks, stride, dilation, frozen, name):
             # torchvision _make_layer: first block carries stride+downsample
@@ -86,7 +89,15 @@ class ResNet50DC5(nn.Module):
                 )(x)
             return x
 
-        x = layer(x, 64, 3, 1, 1, True, "layer1")    # frozen
+        if stage in ("all", "prefix"):
+            # frozen stem + layer1
+            x = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, dtype=self.dtype, name="conv1")(x)
+            x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            x = layer(x, 64, 3, 1, 1, True, "layer1")
+            if stage == "prefix":
+                return x
         x = layer(x, 128, 4, 2, 1, False, "layer2")
         x = layer(x, 256, 6, 2, 1, False, "layer3")
         # DC5: stride->1, dilation 2 on the 3x3s of blocks 1..n-1

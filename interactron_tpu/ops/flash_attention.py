@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128
+BLOCK_Q = 512
 _NEG = -1e30  # python literal: jnp constants would be captured by the kernel
 
 

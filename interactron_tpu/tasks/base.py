@@ -65,6 +65,12 @@ class TaskModel:
         self.cost_bbox = float(m.get("SET_COST_BBOX", 5.0))
         self.cost_giou = float(m.get("SET_COST_GIOU", 2.0))
         self.adaptive_lr = float(m.get("ADAPTIVE_LR", 1e-3))
+        inner = m.get("INNER_DTYPE", None)
+        self.inner_dtype = (
+            {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[inner]
+            if inner is not None
+            else (self.dtype if self.dtype != jnp.float32 else None)
+        )
         self.inner_batch = int(config.TRAINER.get("INNER_BATCH", 1)) if hasattr(config, "TRAINER") else 1
 
     # ------------------------------------------------------------------ init
@@ -97,7 +103,7 @@ class TaskModel:
     # ------------------------------------------------------------- module fns
 
     def detr_apply(self, det_params, frozen, images, *, deterministic=True,
-                   decoder_deterministic=None, rng=None):
+                   decoder_deterministic=None, rng=None, stage="all"):
         variables = {"params": det_params, "frozen": frozen["detector"]}
         rngs = None if deterministic and (decoder_deterministic in (None, True)) else {"dropout": rng}
         return self.detector.apply(
@@ -105,7 +111,15 @@ class TaskModel:
             images,
             deterministic=deterministic,
             decoder_deterministic=decoder_deterministic,
+            stage=stage,
             rngs=rngs,
+        )
+
+    def frozen_prefix(self, frozen, images):
+        """Frozen stem+layer1 features — pure function of the input, shared
+        across the meta loop's multiple detector passes."""
+        return self.detector.apply(
+            {"params": {}, "frozen": frozen["detector"]}, images, stage="frozen_prefix"
         )
 
     def fusion_apply(self, fus_params, detr_out, *, deterministic=True, rng=None):

@@ -66,9 +66,13 @@ class InteractronRandomTask(TaskModel):
         ridx = jax.random.randint(kr, (), 0, C.NUM_FRAMES)
         det_sg = jax.lax.stop_gradient(det_p)
 
+        # frozen stem+layer1 features are identical across all detector
+        # passes in this episode — compute once (pure frozen function)
+        prefix = self.frozen_prefix(frozen, ep["frames"])
+
         def inner(dp):
             out = self.detr_apply(
-                dp, frozen, ep["frames"], deterministic=not train, rng=k1
+                dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
             )
             fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
             return learned_loss_value(fus), fus
@@ -76,9 +80,9 @@ class InteractronRandomTask(TaskModel):
         (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_sg)
 
         # ---- supervisor (second-order) path
-        fast2 = clipped_sgd_step(det_sg, g, self.adaptive_lr)
+        fast2 = clipped_sgd_step(det_sg, g, self.adaptive_lr, dtype=self.inner_dtype)
         post = self.detr_apply(
-            fast2, frozen, ep["frames"], deterministic=not train, rng=k3
+            fast2, frozen, prefix, deterministic=not train, rng=k3, stage="from_prefix"
         )
         targets = {"labels": ep["labels"], "boxes": ep["boxes"], "valid": ep["valid"]}
         sup_losses = self.criterion(
@@ -96,12 +100,14 @@ class InteractronRandomTask(TaskModel):
         reward = jax.lax.stop_gradient(_weighted(gt_losses))
 
         # ---- detector (first-order) path
-        fast1 = clipped_sgd_step(det_p, jax.lax.stop_gradient(g), self.adaptive_lr)
-        fr = jax.lax.dynamic_slice_in_dim(ep["frames"], ridx, 1, axis=0)
+        fast1 = clipped_sgd_step(det_p, jax.lax.stop_gradient(g), self.adaptive_lr, dtype=self.inner_dtype)
+        fr = jax.lax.dynamic_slice_in_dim(prefix, ridx, 1, axis=0)
         tgt_r = {
             k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
         }
-        det_out = self.detr_apply(fast1, frozen, fr, deterministic=not train, rng=k4)
+        det_out = self.detr_apply(
+            fast1, frozen, fr, deterministic=not train, rng=k4, stage="from_prefix"
+        )
         det_losses = self.criterion(
             {"pred_logits": det_out["pred_logits"], "pred_boxes": det_out["pred_boxes"]}, tgt_r
         )
@@ -227,15 +233,16 @@ class InteractronRandomTask(TaskModel):
         (interactron.py:31-59)."""
         frames = episode["frames"][0]
         det_p = params["detector"]
+        prefix = self.frozen_prefix(frozen, frames)
 
         def inner(dp):
-            out = self.detr_apply(dp, frozen, frames, deterministic=True)
+            out = self.detr_apply(dp, frozen, prefix, deterministic=True, stage="from_prefix")
             fus = self.fusion_apply(params["fusion"], out, deterministic=True)
             return learned_loss_value(fus)
 
         g = jax.grad(inner)(jax.lax.stop_gradient(det_p))
-        fast = clipped_sgd_step(det_p, g, self.adaptive_lr)
-        out0 = self.detr_apply(fast, frozen, frames[0:1], deterministic=True)
+        fast = clipped_sgd_step(det_p, g, self.adaptive_lr, dtype=self.inner_dtype)
+        out0 = self.detr_apply(fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix")
         return {
             "pred_logits": out0["pred_logits"][None],
             "pred_boxes": out0["pred_boxes"][None],
