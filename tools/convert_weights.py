@@ -141,7 +141,7 @@ def convert_detector(sd, d_model=256, enc_layers=6, dec_layers=6):
         "bias": _t(sd["transformer.decoder.norm.bias"]),
     }
     params["decoder"] = dec
-    return params, {"detector": frozen_backbone}
+    return params, {"detector": {"backbone": frozen_backbone}}
 
 
 def convert_fusion_gpt(sd, num_layers=4):
