@@ -87,13 +87,16 @@ class EpisodeDataset:
         pv[:n] = True
         return pb, pl, pv
 
-    def get_item(self, idx, actions=None):
+    def get_item(self, idx, actions=None, rng=None):
+        # thread-safe: callers (the multi-threaded loader) pass a per-item
+        # rng; the shared default is only used in single-threaded access
+        rng = rng if rng is not None else self.rng
         scene = self.annotations["data"][idx]
         if self.mode == "test" and actions is None:
             actions = FIXED_TEST_PATH
         if actions is None:
             actions = [
-                self.rng.choice(self.annotations["metadata"]["actions"])
+                rng.choice(self.annotations["metadata"]["actions"])
                 for _ in range(C.NUM_FRAMES)
             ]
         state_name = scene["root"]
@@ -138,7 +141,7 @@ class EpisodeDataset:
                     "initial_image_path": initial_image_path,
                 }
         for i in range(C.NUM_FRAMES):
-            img, boxes, labels = self._load_state(scene, state_name, self.rng)
+            img, boxes, labels = self._load_state(scene, state_name, rng)
             pb, pl, pv = self._pad_targets(boxes, labels)
             frames.append(img)
             b_list.append(pb)
@@ -180,6 +183,7 @@ class EpisodeLoader:
         self.num_workers = max(0, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.rng_seed = seed
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -195,27 +199,32 @@ class EpisodeLoader:
             yield idx[i * self.batch_size : (i + 1) * self.batch_size]
 
     def __iter__(self):
+        def load(i):
+            rng = np.random.RandomState((self.rng_seed * 1000003 + int(i)) % (2**31 - 1))
+            return self.dataset.get_item(int(i), rng=rng)
+
         if self.num_workers == 0:
             for ib in self._index_batches():
-                yield collate([self.dataset.get_item(int(i)) for i in ib])
+                yield collate([load(i) for i in ib])
             return
 
-        q = queue.Queue(maxsize=self.prefetch)
+        # N loader threads fill an ordered slot table; consumption stays in
+        # batch order (JPEG decode releases the GIL in both the native and
+        # PIL paths, so threads overlap device compute)
+        import concurrent.futures as cf
+
         batches = list(self._index_batches())
-        stop = object()
-
-        def worker():
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = []
             for ib in batches:
-                q.put(collate([self.dataset.get_item(int(i)) for i in ib]))
-            q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+                futures.append(
+                    pool.submit(lambda ib=ib: collate([load(i) for i in ib]))
+                )
+                # keep at most prefetch+num_workers batches in flight
+                while len(futures) > self.prefetch + self.num_workers:
+                    yield futures.pop(0).result()
+            for f in futures:
+                yield f.result()
 
 
 class InteractiveEpisodeDataset(EpisodeDataset):

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 512
+BLOCK_Q = 256
 _NEG = -1e30  # python literal: jnp constants would be captured by the kernel
 
 
@@ -43,9 +43,12 @@ def _mask_cols(logits, t_real):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, t_real, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # keep inputs in their storage dtype (bf16 on the hot path): the MXU
+    # accumulates in fp32 via preferred_element_type, and skipping the fp32
+    # VMEM copies keeps the 256-row blocks inside the VMEM budget
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
@@ -54,17 +57,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, t_real, scale):
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0] = (
-        jax.lax.dot_general(p / denom, v, (((1,), (0,)), ((), ())),
+        jax.lax.dot_general((p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     ).astype(o_ref.dtype)
     l_ref[0, :, 0] = (m + jnp.log(denom))[:, 0]
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, scale):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
     L = l_ref[0]  # (BQ, 1)
     D = d_ref[0]
     logits = jax.lax.dot_general(
@@ -74,7 +77,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, sca
     p = jnp.exp(logits - L)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - D)
+    ds = (p * (dp - D)).astype(k.dtype)
     dq_ref[0] = (
         jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -83,10 +86,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, sca
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *, t_real, scale):
     # this program owns one K/V block; iterate over all queries at once
-    q = q_ref[0].astype(jnp.float32)        # (T_pad, hd)
-    k = k_ref[0].astype(jnp.float32)        # (BQ, hd)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)      # (T_pad, hd)
+    q = q_ref[0]                            # (T_pad, hd)
+    k = k_ref[0]                            # (BQ, hd)
+    v = v_ref[0]
+    do = do_ref[0]                          # (T_pad, hd)
     L = l_ref[0]                            # (T_pad, 1)
     D = d_ref[0]
     logits_t = jax.lax.dot_general(
@@ -99,11 +102,12 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *, t_
         logits_t = jnp.where(col < t_real, logits_t, _NEG)
     p_t = jnp.exp(logits_t - L[:, 0][None, :])  # (BQ, T_pad); L col-bcast over k rows
     dv_ref[0] = jax.lax.dot_general(
-        p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (BQ, T_pad)
-    ds_t = p_t * (dp_t - D[:, 0][None, :])
+    ds_t = (p_t * (dp_t - D[:, 0][None, :])).astype(q.dtype)
     dk_ref[0] = (
         jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
@@ -122,10 +126,24 @@ def _flatten_pad(x, t_pad):
     return x
 
 
+MIN_D = 64
+
+
+def _pad_d(x):
+    d = x.shape[-1]
+    if d >= MIN_D:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, MIN_D - d)))
+
+
 def _fwd_impl(q, k, v):
+    # zero-pad small head dims to the MXU-friendly minimum: padded channels
+    # contribute zero to q.k^T, so results are exact
+    d0 = q.shape[-1]
+    scale = 1.0 / (d0 ** 0.5)
+    q, k, v = _pad_d(q), _pad_d(k), _pad_d(v)
     b, h, t, d = q.shape
     s = k.shape[2]
-    scale = 1.0 / (d ** 0.5)
     t_pad = _pad_len(t)
     s_pad = _pad_len(s)
     qf = _flatten_pad(q, t_pad)
@@ -157,20 +175,22 @@ def flash_attention(q, k, v):
     """q, k, v: (B, H, T, D) -> (B, H, T, D)."""
     o, _ = _fwd_impl(q, k, v)
     b, h, t, d = q.shape
-    return o[:, :t].reshape(b, h, t, d)
+    return o[:, :t, :d].reshape(b, h, t, d)
 
 
 def _fa_fwd(q, k, v):
     o, L = _fwd_impl(q, k, v)
     b, h, t, d = q.shape
-    return o[:, :t].reshape(b, h, t, d), (q, k, v, o, L)
+    return o[:, :t, :d].reshape(b, h, t, d), (q, k, v, o, L)
 
 
 def _fa_bwd(res, g):
     q, k, v, o_pad, L = res
-    b, h, t, d = q.shape
+    b, h, t, d0 = q.shape
     s = k.shape[2]
-    scale = 1.0 / (d ** 0.5)
+    scale = 1.0 / (d0 ** 0.5)
+    q, k, v, g = _pad_d(q), _pad_d(k), _pad_d(v), _pad_d(g)
+    d = q.shape[-1]
     t_pad = _pad_len(t)
     s_pad = _pad_len(s)
     qf = _flatten_pad(q, t_pad)
@@ -217,9 +237,9 @@ def _fa_bwd(res, g):
         ),
     )(qf, kf, vf, gf, L, D)
 
-    dq = dq[:, :t].reshape(b, h, t, d)
-    dk = dk[:, :s].reshape(b, h, s, d)
-    dv = dv[:, :s].reshape(b, h, s, d)
+    dq = dq[:, :t, :d0].reshape(b, h, t, d0)
+    dk = dk[:, :s, :d0].reshape(b, h, s, d0)
+    dv = dv[:, :s, :d0].reshape(b, h, s, d0)
     return dq, dk, dv
 
 

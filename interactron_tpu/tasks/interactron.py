@@ -70,6 +70,16 @@ class InteractronRandomTask(TaskModel):
         # passes in this episode — compute once (pure frozen function)
         prefix = self.frozen_prefix(frozen, ep["frames"])
 
+        # differentiate at reduced-precision params: the forward casts
+        # weights to the compute dtype anyway, and rooting the grad there
+        # makes every cotangent/grad tensor bf16 (halves the dominant HBM
+        # traffic of the meta step)
+        det_base = (
+            det_sg
+            if self.inner_dtype is None
+            else jax.tree_util.tree_map(lambda p: p.astype(self.inner_dtype), det_sg)
+        )
+
         def inner(dp):
             out = self.detr_apply(
                 dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
@@ -77,10 +87,10 @@ class InteractronRandomTask(TaskModel):
             fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
             return learned_loss_value(fus), fus
 
-        (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_sg)
+        (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_base)
 
         # ---- supervisor (second-order) path
-        fast2 = clipped_sgd_step(det_sg, g, self.adaptive_lr, dtype=self.inner_dtype)
+        fast2 = clipped_sgd_step(det_base, g, self.adaptive_lr)
         post = self.detr_apply(
             fast2, frozen, prefix, deterministic=not train, rng=k3, stage="from_prefix"
         )
@@ -234,13 +244,18 @@ class InteractronRandomTask(TaskModel):
         frames = episode["frames"][0]
         det_p = params["detector"]
         prefix = self.frozen_prefix(frozen, frames)
+        det_base = (
+            det_p
+            if self.inner_dtype is None
+            else jax.tree_util.tree_map(lambda p: p.astype(self.inner_dtype), det_p)
+        )
 
         def inner(dp):
             out = self.detr_apply(dp, frozen, prefix, deterministic=True, stage="from_prefix")
             fus = self.fusion_apply(params["fusion"], out, deterministic=True)
             return learned_loss_value(fus)
 
-        g = jax.grad(inner)(jax.lax.stop_gradient(det_p))
+        g = jax.grad(inner)(jax.lax.stop_gradient(det_base))
         fast = clipped_sgd_step(det_p, g, self.adaptive_lr, dtype=self.inner_dtype)
         out0 = self.detr_apply(fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix")
         return {

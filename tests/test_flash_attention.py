@@ -13,14 +13,14 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.randn(*shape).astype("float32") * 0.3)
 
 
-@pytest.mark.parametrize("t,s", [(200, 200), (50, 361)])
-def test_flash_attention_matches_reference_interpret(t, s):
+@pytest.mark.parametrize("t,s,d", [(200, 200, 64), (50, 361, 64), (361, 361, 32)])
+def test_flash_attention_matches_reference_interpret(t, s, d):
     from jax.experimental.pallas import tpu as pltpu
 
     from interactron_tpu.ops import flash_attention as fa
 
     rng = np.random.RandomState(0)
-    b, h, d = 1, 2, 64
+    b, h = 1, 2
     q, k, v = _rand(rng, b, h, t, d), _rand(rng, b, h, s, d), _rand(rng, b, h, s, d)
     with pltpu.force_tpu_interpret_mode():
         out = fa.flash_attention(q, k, v)
@@ -28,14 +28,14 @@ def test_flash_attention_matches_reference_interpret(t, s):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("t,s", [(150, 150), (60, 200)])
-def test_flash_attention_backward_matches(t, s):
+@pytest.mark.parametrize("t,s,d", [(150, 150, 64), (60, 200, 32)])
+def test_flash_attention_backward_matches(t, s, d):
     from jax.experimental.pallas import tpu as pltpu
 
     from interactron_tpu.ops import flash_attention as fa
 
     rng = np.random.RandomState(1)
-    b, h, d = 1, 2, 64
+    b, h = 1, 2
     q, k, v = _rand(rng, b, h, t, d), _rand(rng, b, h, s, d), _rand(rng, b, h, s, d)
     w = _rand(rng, b, h, t, d)
 

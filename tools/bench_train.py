@@ -1,0 +1,73 @@
+"""Training-step benchmark: full second-order interactron train step
+(grads+clip+two Adams) episodes/sec on one chip.
+
+    python tools/bench_train.py [--batch 8] [--inner 1]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--inner", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--flash", action="store_true", default=True)
+    args = ap.parse_args()
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from interactron_tpu.ops.attention import set_flash_attention
+    from interactron_tpu.tasks import InteractronTask
+    from interactron_tpu.utils.config import get_config
+    from __graft_entry__ import _episode_batch
+    import optax
+
+    set_flash_attention(args.flash)
+    cfg = get_config("configs/interactron.yaml")
+    cfg.TRAINER.INNER_BATCH = args.inner
+    task = InteractronTask(cfg)
+    task.inner_batch = args.inner
+    params, frozen = task.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    batch = _episode_batch(
+        np.random.RandomState(0), args.batch, 5, task.img_size, task.max_boxes, task.num_classes
+    )
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
+    def step(params, opt_state, batch, rng, chain):
+        b = dict(batch)
+        b["frames"] = b["frames"] + chain * 1e-9
+        grads, metrics = task.grads_and_metrics(params, frozen, b, rng)
+        upd, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        return params, opt_state, metrics["total_loss"] * 1e-9
+
+    fn = jax.jit(step)
+    chain = jnp.zeros(())
+    t0 = time.perf_counter()
+    params, opt_state, chain = fn(params, opt_state, batch, jax.random.PRNGKey(1), chain)
+    _ = float(chain)
+    print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        params, opt_state, chain = fn(params, opt_state, batch, jax.random.PRNGKey(2 + i), chain)
+    _ = float(chain)
+    dt = time.perf_counter() - t0
+    print(
+        f"train step: {dt/args.iters*1000:.1f} ms/step, "
+        f"{args.batch*args.iters/dt:.2f} episodes/s (batch={args.batch}, inner={args.inner})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -9,10 +9,24 @@ import numpy as np
 from interactron_tpu.utils.config import build_evaluator, build_model, build_trainer, get_args, get_config
 
 
+def _maybe_init_distributed():
+    """Multi-host: initialize jax.distributed when a coordinator is
+    configured (the TPU-native analog of the reference's vestigial
+    init_distributed_mode, misc.py:405-427 — which was never called; here it
+    actually works)."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
+
+
 def train():
     args = get_args()
     random.seed(42)
     np.random.seed(42)
+    _maybe_init_distributed()
     config = get_config(args.config_file)
     model = build_model(config)
     evaluator = build_evaluator(model, config, load_checkpoint=False)
