@@ -55,8 +55,8 @@ def dot_product_attention(
         _USE_PALLAS
         and key_padding_mask is None
         and (deterministic or dropout_rate == 0.0)
-        and q.shape[-1] >= 32
-        and k.shape[2] >= 256
+        and q.shape[-1] >= 64
+        and k.shape[2] >= 1024
     ):
         from interactron_tpu.ops.flash_attention import flash_attention
 
