@@ -154,6 +154,26 @@ def compute_ap(detections, nsamples=100, iou_thresholds=(0.5,), min_area=0.0, ma
     return float(np.mean(aps))
 
 
+def compute_cat_ap(detections, nsamples=100, iou_thresholds=(0.5,), min_area=0.0,
+                   max_area=1.0, min_gt=5, verbose=False):
+    """Per-category AP, averaged over categories with >= min_gt ground
+    truths (random_policy_evaluator.py:213-275). Unused by the live pipeline
+    (like the reference); the reference version accumulates a running mean
+    inside the recall-cutoff loop (an indentation quirk at :271) — this
+    implementation computes the standard per-category AP instead."""
+    aps = []
+    cats = sorted(set(d["pred_cat"] for d in detections))
+    for cat in cats:
+        cd = [d for d in detections if d["pred_cat"] == cat and min_area < d["area"] < max_area]
+        if len([d for d in cd if d["type"] in ("tp", "fn")]) < min_gt:
+            continue
+        ap = compute_ap(cd, nsamples=nsamples, iou_thresholds=iou_thresholds)
+        aps.append(ap)
+        if verbose:
+            print("{}: {:06f}".format(cat, ap))
+    return float(np.mean(aps)) if aps else 0.0
+
+
 def ap_summary(detections):
     """The reference's full AP breakdown (random_policy_evaluator.py:188-196)."""
     rng5095 = list(np.arange(0.5, 1.0, 0.05))

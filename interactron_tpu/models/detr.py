@@ -186,6 +186,15 @@ class DETR(nn.Module):
             if stage == "frozen_prefix":
                 return images
             feats = TinyBackbone(dtype=self.dtype, name="backbone")(images.astype(self.dtype))
+        elif self.backbone in ("vit_b16", "vit"):
+            from interactron_tpu.models.vit import ViT
+
+            # fully trainable: prefix is the identity
+            if stage == "frozen_prefix":
+                return images
+            feats = ViT(dtype=self.dtype, name="backbone")(
+                images.astype(self.dtype), deterministic=deterministic
+            )
         else:
             bb = ResNet50DC5(dtype=self.dtype, name="backbone")
             if stage == "frozen_prefix":
