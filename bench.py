@@ -90,7 +90,10 @@ def measure(fn, params, frozen, batch):
 
 def main():
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        # TPU-only: the remote-compile helper stores AOT blobs for its own
+        # CPU microarch; sharing the cache with local CPU runs risks SIGILL
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     except Exception:
         pass
     results = {}

@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 
 _PAD_COST = 1e4
-_INF = jnp.float32(1e18)
+# python literal, NOT jnp: a module-level device constant would be created
+# on the default device at import and fetched back during every lowering
+# (minutes through the axon tunnel)
+_INF = 1e18
 
 
 def solve_square(cost):
