@@ -30,8 +30,9 @@ FIXED_TEST_PATH = ["RotateLeft", "MoveAhead", "RotateLeft", "MoveBack", "RotateR
 
 class EpisodeDataset:
     def __init__(self, img_root, annotations_path, mode="train", train_aug=False,
-                 max_boxes=C.MAX_BOXES, resolution=C.IMG_SIZE, seed=0):
+                 max_boxes=C.MAX_BOXES, resolution=C.IMG_SIZE, seed=0, uid_offset=0):
         assert mode in ("train", "test")
+        self.uid_offset = uid_offset
         self.mode = mode
         with open(annotations_path) as f:
             self.annotations = json.load(f)
@@ -137,7 +138,7 @@ class EpisodeDataset:
                     "labels": np.stack(l_list),
                     "boxes": np.stack(b_list),
                     "valid": np.stack(v_list),
-                    "episode_uid": np.int32(idx),
+                    "episode_uid": np.int32(idx + self.uid_offset),
                     "initial_image_path": initial_image_path,
                 }
         for i in range(C.NUM_FRAMES):
@@ -155,7 +156,7 @@ class EpisodeDataset:
             "labels": np.stack(l_list),
             "boxes": np.stack(b_list),
             "valid": np.stack(v_list),
-            "episode_uid": np.int32(idx),
+            "episode_uid": np.int32(idx + self.uid_offset),
             "initial_image_path": initial_image_path,
         }
 

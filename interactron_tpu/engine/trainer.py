@@ -67,6 +67,7 @@ class Trainer:
         self.test_dataset = EpisodeDataset(
             test_ds.IMAGE_ROOT, test_ds.ANNOTATION_ROOT, test_ds.MODE,
             train_aug=False, resolution=model.img_size, max_boxes=model.max_boxes,
+            uid_offset=len(self.train_dataset),
         )
 
         self.batch_size = int(t.BATCH_SIZE)
@@ -114,8 +115,8 @@ class Trainer:
             data_parallel_grads(task, self.mesh) if self.mesh is not None else task.grads_and_metrics
         )
 
-        def train_step(params, frozen, opt_states, batch, rng, sup_lr_scale):
-            grads, metrics = grads_fn(params, frozen, batch, rng)
+        def train_step(params, frozen, opt_states, batch, rng, sup_lr_scale, path_state):
+            grads, metrics, path_state = grads_fn(params, frozen, batch, rng, path_state)
             grads, gnorm = global_norm_clip(grads, self.grad_clip)
             metrics["grad_norm"] = gnorm
             new_params = dict(params)
@@ -145,9 +146,10 @@ class Trainer:
                     )
                     new_params["fusion"] = optax.apply_updates(params["fusion"], upd_s)
                     new_opt_states["fusion"] = sts
-            return new_params, new_opt_states, metrics
+            return new_params, new_opt_states, metrics, path_state
 
-        self._train_step = jax.jit(train_step)
+        # donate params/opt-state/path-state buffers: updates happen in place
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 2, 6))
         self._eval_step = jax.jit(task.eval_metrics)
 
     # ------------------------------------------------------------------ train
@@ -161,7 +163,9 @@ class Trainer:
             opt_states = {"detector": self.opts["detector"].init(params["detector"])}
             if "fusion" in params:
                 opt_states["fusion"] = self.opts["fusion"].init(params["fusion"])
-        return params, frozen, opt_states
+        n_rows = len(self.train_dataset) + len(self.test_dataset) + 1
+        path_state = self.model.init_path_state(n_rows)
+        return params, frozen, opt_states, path_state
 
     def _lr_scale(self):
         if not self.lr_decay:
@@ -175,21 +179,23 @@ class Trainer:
 
     def train(self, max_epochs=None, rng=None, resume_from=None):
         max_epochs = max_epochs if max_epochs is not None else self.max_epochs
-        params, frozen, opt_states = self.init_state(rng)
+        params, frozen, opt_states, path_state = self.init_state(rng)
         start_epoch = 1
         resume_from = resume_from or self.config.TRAINER.get("RESUME_FROM")
         if resume_from and os.path.exists(resume_from):
             state = load_pytree(
                 resume_from,
-                {"params": params, "opt": opt_states, "epoch": 0, "tokens": 0},
+                {"params": params, "opt": opt_states, "epoch": 0, "tokens": 0,
+                 "path_state": path_state},
             )
             params, opt_states = state["params"], state["opt"]
+            path_state = state.get("path_state", path_state)
             start_epoch = int(state["epoch"]) + 1
             self.tokens = int(state["tokens"])
             print(f"resumed from {resume_from} at epoch {start_epoch}")
         key = jax.random.PRNGKey(1234)
 
-        def run_epoch(split, params, opt_states, key, epoch):
+        def run_epoch(split, params, opt_states, path_state, key, epoch):
             is_train = split == "train"
             ds = self.train_dataset if is_train else self.test_dataset
             loader = EpisodeLoader(
@@ -204,35 +210,41 @@ class Trainer:
                     db = shard_batch(db, self.mesh)
                 if is_train:
                     scale = self._lr_scale()
-                    params, opt_states, metrics = self._train_step(
-                        params, frozen, opt_states, db, sub, scale
+                    params, opt_states, metrics, path_state = self._train_step(
+                        params, frozen, opt_states, db, sub, scale, path_state
                     )
                     self.tokens += batch["frames"].shape[0] * batch["frames"].shape[1]
                     self.logger.add_value("Train/LR", self.supervisor_lr * scale)
                 else:
-                    metrics = self._eval_step(params, frozen, db, sub)
+                    metrics, path_state = self._eval_step(params, frozen, db, sub, path_state)
                 prefix = "Train" if is_train else "Test"
                 for k, v in metrics.items():
                     self.logger.add_value(f"{prefix}/{k}", float(v))
                 losses.append(float(metrics["total_loss"]))
-            return params, opt_states, key, (sum(losses) / max(1, len(losses)))
+            return params, opt_states, path_state, key, (sum(losses) / max(1, len(losses)))
 
-        def run_evaluation(params, opt_states, key, epoch):
-            params, opt_states, key, test_loss = run_epoch("test", params, opt_states, key, epoch)
+        def run_evaluation(params, opt_states, path_state, key, epoch):
+            params, opt_states, path_state, key, _ = run_epoch(
+                "test", params, opt_states, path_state, key, epoch
+            )
             if self.evaluator is not None:
                 ap50, ap, tp, fp, fn = self.evaluator.evaluate(
                     save_results=False, params=params, frozen=frozen
                 )
                 for name, v in [("mAP_50", ap50), ("mAP", ap), ("TP", tp), ("FP", fp), ("FN", fn)]:
                     self.logger.add_value(f"Test/{name}", v)
-            return params, opt_states, key
+            return params, opt_states, path_state, key
 
-        params, opt_states, key = run_evaluation(params, opt_states, key, 0)
+        params, opt_states, path_state, key = run_evaluation(params, opt_states, path_state, key, 0)
         self.logger.log_values()
         for epoch in range(start_epoch, max_epochs):
             t0 = time.time()
-            params, opt_states, key, train_loss = run_epoch("train", params, opt_states, key, epoch)
-            params, opt_states, key = run_evaluation(params, opt_states, key, epoch)
+            params, opt_states, path_state, key, train_loss = run_epoch(
+                "train", params, opt_states, path_state, key, epoch
+            )
+            params, opt_states, path_state, key = run_evaluation(
+                params, opt_states, path_state, key, epoch
+            )
             self.logger.add_value("Train/epoch_seconds", time.time() - t0)
             means = self.logger.log_values()
             print(f"epoch {epoch}: train loss {train_loss:.5f} ({time.time()-t0:.1f}s)")
@@ -240,7 +252,8 @@ class Trainer:
                 self.avg.add(params, 1.0 / self.save_window)
             save_pytree(
                 os.path.join(self.out_dir, "last_state.ckpt"),
-                {"params": params, "opt": opt_states, "epoch": epoch, "tokens": self.tokens},
+                {"params": params, "opt": opt_states, "epoch": epoch,
+                 "tokens": self.tokens, "path_state": path_state},
             )
         final = self.avg.value(like=jax.device_get(params))
         save_pytree(self.checkpoint_path, final if final is not None else jax.device_get(params))

@@ -58,22 +58,41 @@ def param_shardings(params, mesh):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+def _merge_path_state(state):
+    """Reconcile replicated device-path-storage copies across 'dp': each
+    device updated only its own episodes' rows, so take the elementwise
+    min-cost entry and the action of the lowest-indexed device achieving it."""
+    if not state:
+        return state
+    cost = state["cost"]
+    action = state["action"]
+    best_cost = jax.lax.pmin(cost, "dp")
+    dev = jax.lax.axis_index("dp")
+    n_dev = jax.lax.axis_size("dp")
+    score = jnp.where(cost <= best_cost, dev, n_dev)
+    win = jax.lax.pmin(score, "dp")
+    action = jax.lax.psum(jnp.where(dev == win, action, 0), "dp")
+    return {"cost": best_cost, "action": action}
+
+
 def data_parallel_grads(task, mesh):
     """Wrap task.grads_and_metrics in a shard_map over 'dp': each device
-    processes its episode shard, grads psum, metrics pmean."""
+    processes its episode shard, grads psum, metrics pmean, policy path
+    state merged by min-cost."""
     from jax.experimental.shard_map import shard_map
 
-    def local_fn(params, frozen, batch, rng):
+    def local_fn(params, frozen, batch, rng, path_state):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
-        g, m = task.grads_and_metrics(params, frozen, batch, rng)
+        g, m, state = task.grads_and_metrics(params, frozen, batch, rng, path_state)
         g = jax.lax.psum(g, "dp")
         m = jax.lax.pmean(m, "dp")
-        return g, m
+        state = _merge_path_state(state)
+        return g, m, state
 
     return shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P("dp"), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(), P("dp"), P(), P()),
+        out_specs=(P(), P(), P()),
         check_rep=False,
     )

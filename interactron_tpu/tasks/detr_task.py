@@ -30,19 +30,22 @@ class DETRTask(TaskModel):
         total = losses["loss_ce"] + 5.0 * losses["loss_bbox"] + 2.0 * losses["loss_giou"]
         return total, self.rename(losses, "detector")
 
-    def grads_and_metrics(self, params, frozen, batch, rng):
+    def grads_and_metrics(self, params, frozen, batch, rng, path_state=None):
         (total, metrics), grads = jax.value_and_grad(self.loss, has_aux=True)(
             params, frozen, batch, rng, train=True
         )
         metrics = dict(metrics)
         metrics["total_loss"] = total
-        return grads, metrics
+        return grads, metrics, path_state if path_state is not None else {}
 
-    def eval_metrics(self, params, frozen, batch, rng):
+    def eval_metrics(self, params, frozen, batch, rng, path_state=None):
         total, metrics = self.loss(params, frozen, batch, rng, train=False)
         metrics = dict(metrics)
         metrics["total_loss"] = total
-        return metrics
+        return metrics, path_state if path_state is not None else {}
+
+    def init_path_state(self, num_episodes):
+        return {}
 
     def predict(self, params, frozen, episode):
         """episode: batch with b=1. Returns reference-shaped dict

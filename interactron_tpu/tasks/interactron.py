@@ -15,11 +15,14 @@ exactly, re-expressed functionally (SURVEY.md §3.2):
       L_det = criterion(detr(fast1, frame[ridx]), labels[ridx]), ridx ~ U{0..4}
 
   policy supervision (interactron only, interactron.py:105-123): the frame-0
-  ground-truth loss of the adapted detector is the path reward; a host-side
-  prefix tree returns best-path labels via an ordered io_callback placed
-  BETWEEN jax.vjp's forward and backward, so the label lookup sees the
-  current episode's reward (the reference's serial in-batch ordering) while
-  the CE gradient enters through the action-logits cotangent.
+  ground-truth loss of the adapted detector is the path reward; a
+  DEVICE-resident prefix tree (utils/device_path_storage.py — the axon PJRT
+  backend cannot run host callbacks) returns best-path labels between
+  jax.vjp's forward and backward, so the label lookup sees the current
+  episode's reward (the reference's serial ordering, exact at
+  inner_batch=1) while the CE gradient enters through the action-logits
+  cotangent. The path state threads through the train step as a donated
+  buffer and persists in checkpoints.
 
 Gradients accumulate as sums over episodes (the reference backwards per
 episode), scanned over microbatches with the episode body rematerialized.
@@ -29,7 +32,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import io_callback
 
 from interactron_tpu.meta import clipped_sgd_step, learned_loss_value
 from interactron_tpu.tasks.base import (
@@ -39,7 +41,7 @@ from interactron_tpu.tasks.base import (
     tree_zeros_like,
 )
 from interactron_tpu.utils import constants as C
-from interactron_tpu.utils.path_storage import PathStorageBank
+from interactron_tpu.utils.device_path_storage import init_path_state, update_and_label
 
 _SUP_KEYS = ["loss_ce", "loss_bbox", "loss_giou", "cardinality_error", "class_error"]
 
@@ -53,9 +55,12 @@ class InteractronRandomTask(TaskModel):
     needs_fusion = True
     with_policy = False
 
-    def __init__(self, config):
-        super().__init__(config)
-        self.path_bank = PathStorageBank()
+    # default row count for a transient path state when the caller does not
+    # thread a persistent one (the Trainer always does)
+    default_path_rows = 4096
+
+    def init_path_state(self, num_episodes):
+        return init_path_state(num_episodes)
 
     # --------------------------------------------------------------- episode
 
@@ -144,25 +149,27 @@ class InteractronRandomTask(TaskModel):
         )
         return (jnp.sum(mains), logits), aux
 
-    def _policy_piece(self, logits, aux, mb_batch):
-        """Returns (loss_path per-episode, action-logits cotangent). The
-        random variant has no policy loss."""
+    def _policy_piece(self, logits, aux, mb_batch, path_state):
+        """Returns (loss_path per-episode, action-logits cotangent, new path
+        state). The best-path labels come from the DEVICE-resident prefix
+        tree (utils/device_path_storage.py): add_path with this episode's
+        frame-0 adaptation loss, then read the best actions — the reference
+        ordering (interactron.py:111-118) with zero host traffic. The random
+        variant has no policy loss."""
         mb = logits.shape[0]
         if not self.with_policy:
-            return jnp.zeros((mb,)), jnp.zeros_like(logits)
-        best = io_callback(
-            self.path_bank.update_and_label,
-            jax.ShapeDtypeStruct((mb, C.NUM_ACTIONS), jnp.int32),
-            aux["reward"],
-            mb_batch["actions"][:, : C.NUM_ACTIONS],
+            return jnp.zeros((mb,)), jnp.zeros_like(logits), path_state
+        path_state, best = update_and_label(
+            path_state,
             mb_batch["episode_uid"],
-            ordered=True,
+            mb_batch["actions"][:, : C.NUM_ACTIONS],
+            aux["reward"],
         )
         logp = jax.nn.log_softmax(logits, axis=-1)  # (mb, 4, 4)
         onehot = jax.nn.one_hot(best, C.NUM_ACTIONS)
         loss_path = -jnp.sum(onehot * logp, axis=(1, 2)) / C.NUM_ACTIONS
         ce_grad = (jax.nn.softmax(logits, axis=-1) - onehot) / C.NUM_ACTIONS
-        return loss_path, ce_grad
+        return loss_path, ce_grad, path_state
 
     def _metric_zeros(self):
         z = jnp.zeros(())
@@ -192,49 +199,60 @@ class InteractronRandomTask(TaskModel):
         out["total_loss"] = m["total_loss"] / b
         return out
 
-    def grads_and_metrics(self, params, frozen, batch, rng):
+    def grads_and_metrics(self, params, frozen, batch, rng, path_state=None):
         b = batch["frames"].shape[0]
         mb = max(1, self.inner_batch)
         num_micro = max(1, b // mb)
+        if path_state is None and self.with_policy:
+            # transient state (fresh tree each step) — the Trainer threads a
+            # persistent one; bench/dryrun tolerate first-visit labels
+            path_state = init_path_state(self.default_path_rows)
+        if path_state is None:
+            path_state = {}
 
         def step(carry, mb_batch):
-            g_acc, m_acc, key = carry
+            g_acc, m_acc, key, pstate = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, mb_batch["frames"].shape[0])
             f = lambda p: self._mb_fwd(p, frozen, mb_batch, keys, True)
             (loss_sum, logits), vjp_fn, aux = jax.vjp(f, params, has_aux=True)
-            loss_path, ce_grad = self._policy_piece(logits, aux, mb_batch)
+            loss_path, ce_grad, pstate = self._policy_piece(logits, aux, mb_batch, pstate)
             (g,) = vjp_fn((jnp.ones(()), ce_grad))
             total = loss_sum + jnp.sum(loss_path)
             m_acc = self._accumulate_metrics(m_acc, aux, loss_path, total)
-            return (tree_add(g_acc, g), m_acc, key)
+            return (tree_add(g_acc, g), m_acc, key, pstate)
 
-        g, m, _ = scan_microbatches(
-            step, batch, num_micro, (tree_zeros_like(params), self._metric_zeros(), rng)
+        g, m, _, path_state = scan_microbatches(
+            step, batch, num_micro,
+            (tree_zeros_like(params), self._metric_zeros(), rng, path_state),
         )
-        return g, self._finalize_metrics(m, b)
+        return g, self._finalize_metrics(m, b), path_state
 
-    def eval_metrics(self, params, frozen, batch, rng):
+    def eval_metrics(self, params, frozen, batch, rng, path_state=None):
         """Test-epoch losses (dropout off, path storage still updated —
         interactron_trainer.py:140-141 runs the same forward)."""
         b = batch["frames"].shape[0]
         mb = max(1, self.inner_batch)
         num_micro = max(1, b // mb)
+        if path_state is None and self.with_policy:
+            path_state = init_path_state(self.default_path_rows)
+        if path_state is None:
+            path_state = {}
 
         def step(carry, mb_batch):
-            _, m_acc, key = carry
+            _, m_acc, key, pstate = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, mb_batch["frames"].shape[0])
             (loss_sum, logits), aux = self._mb_fwd(params, frozen, mb_batch, keys, False)
-            loss_path, _ = self._policy_piece(logits, aux, mb_batch)
+            loss_path, _, pstate = self._policy_piece(logits, aux, mb_batch, pstate)
             total = loss_sum + jnp.sum(loss_path)
             m_acc = self._accumulate_metrics(m_acc, aux, loss_path, total)
-            return (carry[0], m_acc, key)
+            return (carry[0], m_acc, key, pstate)
 
-        _, m, _ = scan_microbatches(
-            step, batch, num_micro, (jnp.zeros(()), self._metric_zeros(), rng)
+        _, m, _, path_state = scan_microbatches(
+            step, batch, num_micro, (jnp.zeros(()), self._metric_zeros(), rng, path_state)
         )
-        return self._finalize_metrics(m, b)
+        return self._finalize_metrics(m, b), path_state
 
     # ------------------------------------------------------------ prediction
 

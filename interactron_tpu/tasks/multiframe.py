@@ -52,7 +52,7 @@ class MultiFrameTask(TaskModel):
         )
         return jnp.sum(totals), jax.tree_util.tree_map(jnp.sum, losses)
 
-    def grads_and_metrics(self, params, frozen, batch, rng):
+    def grads_and_metrics(self, params, frozen, batch, rng, path_state=None):
         b = batch["frames"].shape[0]
         num_micro = max(1, b // max(1, self.inner_batch))
 
@@ -73,14 +73,17 @@ class MultiFrameTask(TaskModel):
         )
         metrics = self.rename({k: v / b for k, v in m.items() if k != "total_loss"}, "detector")
         metrics["total_loss"] = m["total_loss"] / b
-        return g, metrics
+        return g, metrics, path_state if path_state is not None else {}
 
-    def eval_metrics(self, params, frozen, batch, rng):
+    def eval_metrics(self, params, frozen, batch, rng, path_state=None):
         total, losses = self._microbatch_loss(params, frozen, batch, rng, False)
         b = batch["frames"].shape[0]
         metrics = self.rename({k: v / b for k, v in losses.items()}, "detector")
         metrics["total_loss"] = total / b
-        return metrics
+        return metrics, path_state if path_state is not None else {}
+
+    def init_path_state(self, num_episodes):
+        return {}
 
     def predict(self, params, frozen, episode):
         frames = episode["frames"][0]

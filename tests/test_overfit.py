@@ -21,7 +21,7 @@ def test_detr_overfits_fixed_batch():
 
     @jax.jit
     def step(params, opt_state, rng):
-        grads, metrics = task.grads_and_metrics(params, frozen, batch, rng)
+        grads, metrics, _ = task.grads_and_metrics(params, frozen, batch, rng)
         upd, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, upd), opt_state, metrics["total_loss"]
 
@@ -39,7 +39,7 @@ def test_interactron_step_updates_both_groups():
     task = tasks.InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(np.random.RandomState(1), b=2)
-    grads, _ = jax.jit(task.grads_and_metrics)(params, frozen, batch, jax.random.PRNGKey(2))
+    grads, _, _ = jax.jit(task.grads_and_metrics)(params, frozen, batch, jax.random.PRNGKey(2))
     gdet = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(grads["detector"])))
     gfus = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(grads["fusion"])))
     assert float(gdet) > 0 and float(gfus) > 0

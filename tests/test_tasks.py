@@ -26,7 +26,7 @@ def test_detr_task_grads(rng):
     task = tasks.DETRTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(rng)
-    grads, metrics = jax.jit(task.grads_and_metrics)(
+    grads, metrics, _ = jax.jit(task.grads_and_metrics)(
         params, frozen, batch, jax.random.PRNGKey(1)
     )
     assert jax.tree_util.tree_structure(grads) == jax.tree_util.tree_structure(params)
@@ -42,7 +42,7 @@ def test_multiframe_task(rng):
     task = tasks.MultiFrameTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(rng)
-    grads, metrics = jax.jit(task.grads_and_metrics)(
+    grads, metrics, _ = jax.jit(task.grads_and_metrics)(
         params, frozen, batch, jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(metrics["total_loss"]))
@@ -55,7 +55,7 @@ def test_interactron_random_task(rng):
     task = tasks.InteractronRandomTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(rng)
-    grads, metrics = jax.jit(task.grads_and_metrics)(
+    grads, metrics, _ = jax.jit(task.grads_and_metrics)(
         params, frozen, batch, jax.random.PRNGKey(1)
     )
     for k in ["loss_detector_ce", "loss_supervisor_ce", "total_loss"]:
@@ -72,13 +72,14 @@ def test_interactron_task_with_policy(rng):
     task = tasks.InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(rng)
-    grads, metrics = jax.jit(task.grads_and_metrics)(
-        params, frozen, batch, jax.random.PRNGKey(1)
+    pstate = task.init_path_state(8)
+    grads, metrics, pstate = jax.jit(task.grads_and_metrics)(
+        params, frozen, batch, jax.random.PRNGKey(1), pstate
     )
     assert np.isfinite(float(metrics["loss_supervisor_path"]))
     assert np.isfinite(float(metrics["policy_reward"]))
-    # path storage was populated via the in-step callback
-    assert len(task.path_bank.storages) == 2
+    # device path storage rows for both episodes were populated
+    assert float(jnp.min(pstate["cost"][:2, 0])) < 1e29
     # action decoder receives policy gradient
     norms = _flat_norms(grads["fusion"])
     act = [v for k, v in norms.items() if "action_decoder" in k]
@@ -102,6 +103,6 @@ def test_eval_metrics_deterministic(rng):
     params, frozen = task.init(jax.random.PRNGKey(0))
     batch = tiny_batch(rng)
     em = jax.jit(task.eval_metrics)
-    m1 = em(params, frozen, batch, jax.random.PRNGKey(5))
-    m2 = em(params, frozen, batch, jax.random.PRNGKey(5))
+    m1, _ = em(params, frozen, batch, jax.random.PRNGKey(5))
+    m2, _ = em(params, frozen, batch, jax.random.PRNGKey(5))
     assert float(m1["total_loss"]) == float(m2["total_loss"])

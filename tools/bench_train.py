@@ -43,23 +43,25 @@ def main():
     )
     batch = {k: jax.device_put(v) for k, v in batch.items()}
 
-    def step(params, opt_state, batch, rng, chain):
+    path_state = task.init_path_state(64)
+
+    def step(params, opt_state, batch, rng, chain, path_state):
         b = dict(batch)
         b["frames"] = b["frames"] + chain * 1e-9
-        grads, metrics = task.grads_and_metrics(params, frozen, b, rng)
+        grads, metrics, path_state = task.grads_and_metrics(params, frozen, b, rng, path_state)
         upd, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
-        return params, opt_state, metrics["total_loss"] * 1e-9
+        return params, opt_state, metrics["total_loss"] * 1e-9, path_state
 
     fn = jax.jit(step)
     chain = jnp.zeros(())
     t0 = time.perf_counter()
-    params, opt_state, chain = fn(params, opt_state, batch, jax.random.PRNGKey(1), chain)
+    params, opt_state, chain, path_state = fn(params, opt_state, batch, jax.random.PRNGKey(1), chain, path_state)
     _ = float(chain)
     print(f"compile+first step: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     for i in range(args.iters):
-        params, opt_state, chain = fn(params, opt_state, batch, jax.random.PRNGKey(2 + i), chain)
+        params, opt_state, chain, path_state = fn(params, opt_state, batch, jax.random.PRNGKey(2 + i), chain, path_state)
     _ = float(chain)
     dt = time.perf_counter() - t0
     print(
