@@ -49,18 +49,19 @@ def dot_product_attention(
     d = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
 
-    # Pallas fused kernel: no mask/dropout support; only worth it when the
-    # attention area is large enough that the HBM logits buffer dominates.
+    # Pallas fused kernel (supports in-kernel prob dropout): only worth it
+    # when the attention area is large enough that the HBM logits buffer
+    # dominates (the fusion transformer's 2060-token problems).
     if (
         _USE_PALLAS
         and key_padding_mask is None
-        and (deterministic or dropout_rate == 0.0)
         and q.shape[-1] >= 64
         and k.shape[2] >= 1024
     ):
         from interactron_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v)
+        rate = 0.0 if deterministic else float(dropout_rate)
+        out = flash_attention(q, k, v, dropout_rate=rate, dropout_rng=dropout_rng)
         return out.astype(in_dtype)
 
     logits = jnp.einsum(

@@ -1,26 +1,29 @@
-"""Pallas TPU fused attention with custom VJP for the fusion transformer.
+"""Pallas TPU fused attention with custom VJP and in-kernel dropout.
 
-The fusion GPT attends over T=2060 tokens with head_dim 64: the XLA fallback
-materializes the (B, H, T, T) probability tensor in HBM (~1 GB at B=8 in
-fp32), making the op HBM-bandwidth bound both forward AND backward — and the
-meta inner loop (grad of the learned loss, interactron.py:99) differentiates
-through this attention, so the backward pass is on the hot path too.
+The fusion GPT attends over T=2060 tokens with head_dim 64. The XLA fallback
+materializes the (B, H, T, T) probability tensor in HBM (~1 GB in fp32 at
+B=8) — and the meta inner loop differentiates through this attention twice
+(second order), so during TRAINING those buffers dominate both time and HBM
+(inner_batch=8 OOMs a 16 GB chip outright). This kernel keeps logits/softmax
+in VMEM and implements the reference's attention-probability dropout
+(gpt.py:51) with the on-chip PRNG: the forward seeds a counter-based stream
+per (batch*head, q_block) program and the backward REGENERATES the same mask
+instead of storing it.
 
-Design (sizes are small enough that full K/V fit VMEM, so no online-softmax
-streaming is needed):
-  forward: per (batch*head, q_block): load K/V (~0.5 MB each at T<=2176),
-    fp32 logits + softmax in VMEM, write O block and the softmax
-    log-normalizer L (for the backward recomputation).
-  backward: two kernels —
-    dQ: per (bh, q_block): recompute P from (Q_blk, K, L_blk);
-        dS = P*(dO@V^T - D); dQ = scale * dS @ K.
-    dK/dV: per (bh, k_block): recompute P^T from (K_blk, Q, L);
-        dV = P^T @ dO; dS^T = P^T*(V_blk@dO^T - D^T); dK = scale * dS^T @ Q.
-  D = rowsum(dO * O) is a cheap jnp reduction outside the kernels.
+Layout (full K/V fit VMEM at these sizes — no online-softmax streaming):
+  forward: per (bh, q_block): fp32 logits + softmax, dropout mask, write O
+    and the log-normalizer L.
+  backward dQ: per (bh, q_block): recompute P and the mask;
+    dS = P * (keep/(1-r) * (dO V^T) - D); dQ = scale * dS @ K. The standard
+    D = rowsum(dO*O) identity still holds under prob-dropout.
+  backward dK/dV: per (bh, k_block): loop over q_blocks (regenerating each
+    q-block's mask stream), accumulate dV += Pdrop^T dO and
+    dK += scale * (P*(keep/(1-r)*(V dO^T) - D))^T Q.
 
-Sequence lengths are static at trace time, so padding masks are compile-time
-index comparisons. Full bidirectional attention (the fusion GPT's all-ones
-mask, gpt.py:35-36).
+Head dims < 64 are zero-padded to the MXU-friendly minimum (exact: padded
+channels contribute zero to qk^T). Sequence padding masks are compile-time
+index comparisons. No jnp module-level constants (they would be captured by
+the kernels and fetched per-lowering through the axon tunnel).
 """
 
 import functools
@@ -31,39 +34,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_Q = 256
-_NEG = -1e30  # python literal: jnp constants would be captured by the kernel
+MIN_D = 64
+_NEG = -1e30
 
 
-def _mask_cols(logits, t_real):
-    t_pad = logits.shape[-1]
-    if t_pad != t_real:
+def _mask_cols(logits, real):
+    pad = logits.shape[-1]
+    if pad != real:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < t_real, logits, _NEG)
+        logits = jnp.where(col < real, logits, _NEG)
     return logits
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, t_real, scale):
-    # keep inputs in their storage dtype (bf16 on the hot path): the MXU
-    # accumulates in fp32 via preferred_element_type, and skipping the fp32
-    # VMEM copies keeps the 256-row blocks inside the VMEM budget
+def _keep_mask(seed_val, i, jq, jk, shape, rate):
+    """Counter-based dropout keep-mask for the (q_block jq, k_block jk) tile
+    of head-batch i: the same (seed, i, jq, jk) always regenerates the same
+    bits, so the backward kernels rebuild the exact forward mask without
+    storing it."""
+    pltpu.prng_seed(seed_val + (i * 4096 + jq) * 64 + jk)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = min(int(rate * 4294967296.0), 4294967295)
+    return bits >= jnp.uint32(threshold)
+
+
+def _keep_mask_row(seed_val, i, jq, n_k_blocks, bk, rows, rate):
+    """Full (rows, n_k_blocks*bk) keep mask for one q block, assembled from
+    per-(jq, jk) tiles (static concat — Pallas TC has no dynamic_slice)."""
+    tiles = [
+        _keep_mask(seed_val, i, jq, jk, (rows, bk), rate)
+        for jk in range(n_k_blocks)
+    ]
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, s_real, scale, rate,
+                n_k_blocks):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    logits = _mask_cols(logits, t_real)
+    logits = _mask_cols(logits, s_real)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = (
-        jax.lax.dot_general((p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    p = p / denom
+    if rate > 0.0:
+        bk = p.shape[1] // n_k_blocks
+        keep = _keep_mask_row(seed_ref[0], i, j, n_k_blocks, bk, p.shape[0], rate)
+        p = jnp.where(keep, p / (1.0 - rate), 0.0)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
     l_ref[0, :, 0] = (m + jnp.log(denom))[:, 0]
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, scale):
+def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
+               s_real, scale, rate, n_k_blocks):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -73,10 +106,14 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, sca
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    logits = _mask_cols(logits, t_real)
+    logits = _mask_cols(logits, s_real)
     p = jnp.exp(logits - L)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        bk = p.shape[1] // n_k_blocks
+        keep = _keep_mask_row(seed_ref[0], i, j, n_k_blocks, bk, p.shape[0], rate)
+        dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
     ds = (p * (dp - D)).astype(k.dtype)
     dq_ref[0] = (
         jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
@@ -84,38 +121,63 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *, t_real, sca
     ).astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *, t_real, scale):
-    # this program owns one K/V block; iterate over all queries at once
-    q = q_ref[0]                            # (T_pad, hd)
-    k = k_ref[0]                            # (BQ, hd)
+def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *,
+                t_real, scale, rate, n_q_blocks):
+    i = pl.program_id(0)
+    jk = pl.program_id(1)
+    k = k_ref[0]   # (BK, d)
     v = v_ref[0]
-    do = do_ref[0]                          # (T_pad, hd)
-    L = l_ref[0]                            # (T_pad, 1)
-    D = d_ref[0]
-    logits_t = jax.lax.dot_general(
-        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                               # (BQ, T_pad) == S^T block
-    # mask padded QUERY columns so exp(-L) with L=0 padding cannot pollute
-    t_pad = logits_t.shape[-1]
-    if t_pad != t_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits_t.shape, 1)
-        logits_t = jnp.where(col < t_real, logits_t, _NEG)
-    p_t = jnp.exp(logits_t - L[:, 0][None, :])  # (BQ, T_pad); L col-bcast over k rows
-    dv_ref[0] = jax.lax.dot_general(
-        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    dp_t = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (BQ, T_pad)
-    ds_t = (p_t * (dp_t - D[:, 0][None, :])).astype(q.dtype)
-    dk_ref[0] = (
-        jax.lax.dot_general(ds_t, q, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    ).astype(dk_ref.dtype)
+    bk, d = k.shape
+    dv_acc = jnp.zeros((bk, d), jnp.float32)
+    dk_acc = jnp.zeros((bk, d), jnp.float32)
+    s_pad_total = pl.num_programs(1) * bk
+    # loop over query blocks in q-major orientation (p is (BQ, BK), the same
+    # layout as the forward's mask tile — no boolean transposes for Mosaic)
+    for jq in range(n_q_blocks):
+        q = q_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]      # (BQ, d)
+        do = do_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]
+        L = l_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]      # (BQ, 1)
+        D = d_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                          # (BQ, BK)
+        # mask padded QUERY rows
+        q_low = jq * BLOCK_Q
+        if q_low + BLOCK_Q > t_real:
+            row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + q_low
+            logits = jnp.where(row < t_real, logits, _NEG)
+        p = jnp.exp(logits - L)                            # (BQ, BK)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (BQ, BK)
+        if rate > 0.0:
+            # regenerate exactly this (jq, jk) tile of the fwd mask
+            keep = _keep_mask(seed_ref[0], i, jq, jk, (BLOCK_Q, bk), rate)
+            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            p_drop = p
+        # dV += Pdrop^T @ dO, dK += dS^T @ Q: transposes via contraction dims
+        dv_acc += jax.lax.dot_general(
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - D)).astype(q.dtype)                # (BQ, BK)
+        dk_acc += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
 def _pad_len(t):
     return -(-t // BLOCK_Q) * BLOCK_Q
+
+
+def _pad_d(x):
+    d = x.shape[-1]
+    if d >= MIN_D:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, MIN_D - d)))
 
 
 def _flatten_pad(x, t_pad):
@@ -126,19 +188,7 @@ def _flatten_pad(x, t_pad):
     return x
 
 
-MIN_D = 64
-
-
-def _pad_d(x):
-    d = x.shape[-1]
-    if d >= MIN_D:
-        return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, MIN_D - d)))
-
-
-def _fwd_impl(q, k, v):
-    # zero-pad small head dims to the MXU-friendly minimum: padded channels
-    # contribute zero to q.k^T, so results are exact
+def _fwd_impl(q, k, v, seed, rate):
     d0 = q.shape[-1]
     scale = 1.0 / (d0 ** 0.5)
     q, k, v = _pad_d(q), _pad_d(k), _pad_d(v)
@@ -151,13 +201,15 @@ def _fwd_impl(q, k, v):
     vf = _flatten_pad(v, s_pad)
     grid = (b * h, t_pad // BLOCK_Q)
     o, L = pl.pallas_call(
-        functools.partial(_fwd_kernel, t_real=s, scale=scale),
+        functools.partial(_fwd_kernel, s_real=s, scale=scale, rate=rate,
+                          n_k_blocks=s_pad // BLOCK_Q),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
         ),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -166,26 +218,25 @@ def _fwd_impl(q, k, v):
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-    )(qf, kf, vf)
+    )(seed, qf, kf, vf)
     return o, L
 
 
-@jax.custom_vjp
-def flash_attention(q, k, v):
-    """q, k, v: (B, H, T, D) -> (B, H, T, D)."""
-    o, _ = _fwd_impl(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash(q, k, v, seed, rate):
+    o, _ = _fwd_impl(q, k, v, seed, rate)
     b, h, t, d = q.shape
     return o[:, :t, :d].reshape(b, h, t, d)
 
 
-def _fa_fwd(q, k, v):
-    o, L = _fwd_impl(q, k, v)
+def _flash_fwd(q, k, v, seed, rate):
+    o, L = _fwd_impl(q, k, v, seed, rate)
     b, h, t, d = q.shape
-    return o[:, :t, :d].reshape(b, h, t, d), (q, k, v, o, L)
+    return o[:, :t, :d].reshape(b, h, t, d), (q, k, v, seed, o, L)
 
 
-def _fa_bwd(res, g):
-    q, k, v, o_pad, L = res
+def _flash_bwd(rate, res, g):
+    q, k, v, seed, o_pad, L = res
     b, h, t, d0 = q.shape
     s = k.shape[2]
     scale = 1.0 / (d0 ** 0.5)
@@ -197,14 +248,16 @@ def _fa_bwd(res, g):
     kf = _flatten_pad(k, s_pad)
     vf = _flatten_pad(v, s_pad)
     gf = _flatten_pad(g, t_pad)
-    D = jnp.sum(gf.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)[..., None]  # (bh, t_pad, 1)
+    D = jnp.sum(gf.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)[..., None]
 
     grid_q = (b * h, t_pad // BLOCK_Q)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, t_real=s, scale=scale),
+        functools.partial(_dq_kernel, s_real=s, scale=scale, rate=rate,
+                          n_k_blocks=s_pad // BLOCK_Q),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
         grid=grid_q,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -213,34 +266,51 @@ def _fa_bwd(res, g):
             pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-    )(qf, kf, vf, gf, L, D)
+    )(seed, qf, kf, vf, gf, L, D)
 
     grid_k = (b * h, s_pad // BLOCK_Q)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, t_real=t, scale=scale),
+        functools.partial(
+            _dkv_kernel, t_real=t, scale=scale, rate=rate,
+            n_q_blocks=t_pad // BLOCK_Q,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
         ),
         grid=grid_k,
         in_specs=[
-            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # q full
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),  # k blk
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),  # v blk
-            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # do full
-            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # L full
-            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),    # D full
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
-    )(qf, kf, vf, gf, L, D)
+    )(seed, qf, kf, vf, gf, L, D)
 
     dq = dq[:, :t, :d0].reshape(b, h, t, d0)
     dk = dk[:, :s, :d0].reshape(b, h, s, d0)
     dv = dv[:, :s, :d0].reshape(b, h, s, d0)
-    return dq, dk, dv
+    return dq, dk, dv, None
 
 
-flash_attention.defvjp(_fa_fwd, _fa_bwd)
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
+    """q, k, v: (B, H, T/S, D) -> (B, H, T, D). Full bidirectional attention
+    (the fusion GPT's all-ones mask, gpt.py:35-36) with optional in-kernel
+    attention-probability dropout (mask regenerated in the backward)."""
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+        rate = 0.0
+    return _flash(q, k, v, seed, rate)

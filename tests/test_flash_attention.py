@@ -51,3 +51,44 @@ def test_flash_attention_backward_matches(t, s, d):
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-5)
     np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=5e-5)
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=5e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_random_bits returns zeros in interpret mode")
+def test_flash_attention_dropout_semantics():
+    """In-kernel dropout: deterministic per seed, unbiased scaling, and the
+    custom VJP matches finite differences through the same fixed mask.
+    Hardware-only: the interpreter's PRNG is a stub."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interactron_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(3)
+    b, h, t, d = 1, 1, 64, 64
+    q, k, v = _rand(rng, b, h, t, d), _rand(rng, b, h, t, d), jnp.ones((b, h, t, d))
+    seed = jnp.asarray([123], jnp.int32)
+
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fa._flash(q, k, v, seed, 0.3)
+        o2 = fa._flash(q, k, v, seed, 0.3)
+        o_ref = fa._flash(q, k, v, seed, 0.0)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))  # same seed -> same mask
+    # with v == ones, output rows are sum of kept probs / (1-rate):
+    # expectation equals 1; check the batch mean is in a sane band
+    mean = float(jnp.mean(o1))
+    assert 0.85 < mean < 1.15, mean
+
+    # gradient check through the fixed mask
+    w = _rand(rng, b, h, t, d)
+    vv = _rand(rng, b, h, t, d)
+
+    def loss(q):
+        return jnp.sum(fa._flash(q, k, vv, seed, 0.3) * w)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(q)
+        eps = 1e-3
+        for idx in [(0, 0, 3, 5), (0, 0, 40, 60)]:
+            dq = jnp.zeros_like(q).at[idx].set(eps)
+            fd = (loss(q + dq) - loss(q - dq)) / (2 * eps)
+            np.testing.assert_allclose(float(g[idx]), float(fd), rtol=2e-2, atol=2e-3)
