@@ -12,13 +12,31 @@ Softmax is always computed in float32 regardless of the compute dtype.
 import jax
 import jax.numpy as jnp
 
+import contextlib
+
 # Module-level switch so benchmarks/tests can flip implementations globally.
 _USE_PALLAS = False
+_FLASH_SUPPRESSED = False
 
 
 def set_flash_attention(enabled: bool):
     global _USE_PALLAS
     _USE_PALLAS = bool(enabled)
+
+
+@contextlib.contextmanager
+def flash_disabled():
+    """Trace-time guard: the fused kernel's custom VJP is first-order only,
+    so code that gets differentiated TWICE (the meta inner loss — the
+    supervisor backprops through its gradient) must trace with the
+    XLA attention instead."""
+    global _FLASH_SUPPRESSED
+    prev = _FLASH_SUPPRESSED
+    _FLASH_SUPPRESSED = True
+    try:
+        yield
+    finally:
+        _FLASH_SUPPRESSED = prev
 
 
 def dot_product_attention(
@@ -54,6 +72,7 @@ def dot_product_attention(
     # dominates (the fusion transformer's 2060-token problems).
     if (
         _USE_PALLAS
+        and not _FLASH_SUPPRESSED
         and key_padding_mask is None
         and q.shape[-1] >= 64
         and k.shape[2] >= 1024

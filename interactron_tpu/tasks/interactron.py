@@ -28,6 +28,7 @@ Gradients accumulate as sums over episodes (the reference backwards per
 episode), scanned over microbatches with the episode body rematerialized.
 """
 
+from contextlib import nullcontext as _nullcontext
 from functools import partial
 
 import jax
@@ -86,10 +87,16 @@ class InteractronRandomTask(TaskModel):
         )
 
         def inner(dp):
-            out = self.detr_apply(
-                dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
-            )
-            fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
+            # this closure is differentiated twice (the supervisor backprops
+            # through its gradient) — the first-order-only fused attention
+            # kernel must not trace here during training
+            from interactron_tpu.ops.attention import flash_disabled
+
+            with flash_disabled() if train else _nullcontext():
+                out = self.detr_apply(
+                    dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
+                )
+                fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
             return learned_loss_value(fus), fus
 
         (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_base)
