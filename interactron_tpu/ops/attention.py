@@ -83,6 +83,18 @@ def dot_product_attention(
         out = flash_attention(q, k, v, dropout_rate=rate, dropout_rng=dropout_rng)
         return out.astype(in_dtype)
 
+    # Large problems that cannot take the Pallas kernel (e.g. the meta inner
+    # loss, which is differentiated twice) use a chunked-scan formulation:
+    # q blocks stream through a rematerialized scan body, so the (T, S)
+    # probability tensor never materializes in HBM and AD works to any order.
+    if q.shape[2] * k.shape[2] >= 1024 * 1024 and key_padding_mask is None:
+        return _chunked_attention(
+            q, k, v, scale,
+            dropout_rate=dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+        ).astype(in_dtype)
+
     logits = jnp.einsum(
         "bhtd,bhsd->bhts", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -95,3 +107,35 @@ def dot_product_attention(
         probs = probs * keep / (1.0 - dropout_rate)
     probs = probs.astype(in_dtype)
     return jnp.einsum("bhts,bhsd->bhtd", probs, v)
+
+
+def _chunked_attention(q, k, v, scale, *, dropout_rate=0.0, deterministic=True,
+                       dropout_rng=None, block=256):
+    """Blockwise attention via lax.scan with a rematerialized body: peak
+    memory O(block x S) instead of O(T x S), differentiable to any order
+    (unlike the Pallas custom-VJP kernel)."""
+    b, h, t, d = q.shape
+    t_pad = -(-t // block) * block
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))) if t_pad != t else q
+    qb = qp.reshape(b, h, t_pad // block, block, d).transpose(2, 0, 1, 3, 4)
+    use_drop = dropout_rate > 0.0 and not deterministic and dropout_rng is not None
+    keys = jax.random.split(
+        dropout_rng if use_drop else jax.random.PRNGKey(0), t_pad // block
+    )
+
+    @jax.checkpoint
+    def body(carry, xs):
+        q_blk, key = xs  # (b, h, block, d)
+        logits = jnp.einsum(
+            "bhtd,bhsd->bhts", q_blk, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        if use_drop:
+            keep = jax.random.bernoulli(key, 1.0 - dropout_rate, probs.shape)
+            probs = probs * keep / (1.0 - dropout_rate)
+        out = jnp.einsum("bhts,bhsd->bhtd", probs.astype(v.dtype), v)
+        return carry, out
+
+    _, ob = jax.lax.scan(body, None, (qb, keys))
+    o = ob.transpose(1, 2, 0, 3, 4).reshape(b, h, t_pad, d)
+    return o[:, :, :t]
