@@ -14,14 +14,24 @@ import jax.numpy as jnp
 
 import contextlib
 
-# Module-level switch so benchmarks/tests can flip implementations globally.
+# Module-level switches so benchmarks/configs can flip implementations.
 _USE_PALLAS = False
 _FLASH_SUPPRESSED = False
+_USE_CHUNKED = False
 
 
 def set_flash_attention(enabled: bool):
     global _USE_PALLAS
     _USE_PALLAS = bool(enabled)
+
+
+def set_chunked_attention(enabled: bool):
+    """Opt-in blockwise-scan fallback for big attention that cannot take the
+    Pallas kernel (any-order differentiable, O(block x S) memory). Slightly
+    slower than the materializing XLA path when everything fits HBM, so it
+    is a memory knob (MODEL.CHUNKED_ATTENTION), not a default."""
+    global _USE_CHUNKED
+    _USE_CHUNKED = bool(enabled)
 
 
 @contextlib.contextmanager
@@ -87,7 +97,7 @@ def dot_product_attention(
     # loss, which is differentiated twice) use a chunked-scan formulation:
     # q blocks stream through a rematerialized scan body, so the (T, S)
     # probability tensor never materializes in HBM and AD works to any order.
-    if q.shape[2] * k.shape[2] >= 1024 * 1024 and key_padding_mask is None:
+    if _USE_CHUNKED and q.shape[2] * k.shape[2] >= 1024 * 1024 and key_padding_mask is None:
         return _chunked_attention(
             q, k, v, scale,
             dropout_rate=dropout_rate,

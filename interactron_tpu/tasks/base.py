@@ -72,6 +72,10 @@ class TaskModel:
             else (self.dtype if self.dtype != jnp.float32 else None)
         )
         self.inner_batch = int(config.TRAINER.get("INNER_BATCH", 1)) if hasattr(config, "TRAINER") else 1
+        if m.get("CHUNKED_ATTENTION", False):
+            from interactron_tpu.ops.attention import set_chunked_attention
+
+            set_chunked_attention(True)
 
     # ------------------------------------------------------------------ init
 
