@@ -42,11 +42,14 @@ class _EvaluatorBase:
         if self.params is None:
             import jax
 
+            # init consumes MODEL.WEIGHTS when configured (pretrained detector)
             self.params, self.frozen = self.model.init(jax.random.PRNGKey(42))
             if self.load_checkpoint_flag:
                 path = self.config.EVALUATOR.get("CHECKPOINT")
                 if path and os.path.exists(path):
-                    self.params = load_checkpoint(path, self.params)
+                    self.params, self.frozen = load_checkpoint(
+                        path, self.params, self.frozen
+                    )
 
     # ---------------------------------------------------------------- common
 

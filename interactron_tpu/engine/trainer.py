@@ -183,12 +183,16 @@ class Trainer:
         start_epoch = 1
         resume_from = resume_from or self.config.TRAINER.get("RESUME_FROM")
         if resume_from and os.path.exists(resume_from):
-            state = load_pytree(
-                resume_from,
-                {"params": params, "opt": opt_states, "epoch": 0, "tokens": 0,
-                 "path_state": path_state},
-            )
+            target = {"params": params, "frozen": frozen, "opt": opt_states,
+                      "epoch": 0, "tokens": 0, "path_state": path_state}
+            try:
+                state = load_pytree(resume_from, target)
+            except Exception:
+                # older checkpoints lack the frozen collection
+                del target["frozen"]
+                state = load_pytree(resume_from, target)
             params, opt_states = state["params"], state["opt"]
+            frozen = state.get("frozen", frozen)
             path_state = state.get("path_state", path_state)
             start_epoch = int(state["epoch"]) + 1
             self.tokens = int(state["tokens"])
@@ -252,9 +256,15 @@ class Trainer:
                 self.avg.add(params, 1.0 / self.save_window)
             save_pytree(
                 os.path.join(self.out_dir, "last_state.ckpt"),
-                {"params": params, "opt": opt_states, "epoch": epoch,
-                 "tokens": self.tokens, "path_state": path_state},
+                {"params": params, "frozen": frozen, "opt": opt_states,
+                 "epoch": epoch, "tokens": self.tokens, "path_state": path_state},
             )
         final = self.avg.value(like=jax.device_get(params))
-        save_pytree(self.checkpoint_path, final if final is not None else jax.device_get(params))
+        # the frozen collection (stem+layer1 kernels, all BN stats) must ship
+        # with the checkpoint or a fresh process cannot reproduce the model
+        save_pytree(
+            self.checkpoint_path,
+            {"params": final if final is not None else jax.device_get(params),
+             "frozen": jax.device_get(frozen)},
+        )
         return params, frozen

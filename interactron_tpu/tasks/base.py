@@ -102,6 +102,20 @@ class TaskModel:
             }
             fvars = self.fusion.init({"params": kf}, fusion_in, deterministic=True)
             params["fusion"] = fvars["params"]
+        weights = self.config.MODEL.get("WEIGHTS")
+        if weights:
+            import os
+
+            if os.path.exists(weights):
+                # reference loads pretrained detector weights at model
+                # construction (models/interactron.py:23)
+                from interactron_tpu.utils.checkpoint import load_pretrained
+
+                params, frozen = load_pretrained(weights, params, frozen)
+            else:
+                import warnings
+
+                warnings.warn(f"MODEL.WEIGHTS not found, random init: {weights}")
         return params, frozen
 
     # ------------------------------------------------------------- module fns

@@ -1,200 +1,16 @@
-"""Convert reference PyTorch checkpoints to interactron-tpu param trees.
+"""CLI shim — conversion logic lives in interactron_tpu.utils.convert_weights
+so the package can consume MODEL.WEIGHTS torch checkpoints directly
+(reference loads them at model construction, models/interactron.py:23)."""
 
-Usage:
-  python tools/convert_weights.py detr path/to/detr-dc5-backbone.pth out.ckpt
-  python tools/convert_weights.py interactron path/to/interactron.pt out.ckpt
-
-Covers the detector state_dict layout of the reference DETR
-(models/detr_models/detr.py: backbone.0.body.*, transformer.encoder/decoder.*,
-class_embed, bbox_embed, query_embed, input_proj) and the fusion transformer
-(models/transformer.py / gpt.py). Conventions:
-  torch Conv2d OIHW -> HWIO; torch Linear (out,in) -> (in,out);
-  MultiheadAttention packed in_proj -> split q/k/v kernels.
-
-The converted tree splits into the `params` (trainable) and `frozen`
-(stem+layer1+FrozenBN) collections matching interactron_tpu.models.resnet.
-"""
-
-import sys
-
-import numpy as np
-
-
-def _t(w):
-    return np.asarray(w, np.float32)
-
-
-def _linear(sd, prefix):
-    out = {"kernel": _t(sd[prefix + ".weight"]).T}
-    if prefix + ".bias" in sd:
-        out["bias"] = _t(sd[prefix + ".bias"])
-    return out
-
-
-def _conv(sd, prefix, bias=False):
-    out = {"kernel": _t(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
-    if bias and prefix + ".bias" in sd:
-        out["bias"] = _t(sd[prefix + ".bias"])
-    return out
-
-
-def _frozen_bn(sd, prefix):
-    return {
-        "weight": _t(sd[prefix + ".weight"]),
-        "bias": _t(sd[prefix + ".bias"]),
-        "running_mean": _t(sd[prefix + ".running_mean"]),
-        "running_var": _t(sd[prefix + ".running_var"]),
-    }
-
-
-def _mha(sd, prefix, d):
-    """torch nn.MultiheadAttention -> q/k/v/out Dense trees."""
-    w = _t(sd[prefix + ".in_proj_weight"])
-    b = _t(sd[prefix + ".in_proj_bias"])
-    qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
-    qb, kb, vb = b[:d], b[d : 2 * d], b[2 * d :]
-    return {
-        "q_proj": {"kernel": qw.T, "bias": qb},
-        "k_proj": {"kernel": kw.T, "bias": kb},
-        "v_proj": {"kernel": vw.T, "bias": vb},
-        "out_proj": _linear(sd, prefix + ".out_proj"),
-    }
-
-
-def _resnet_block(sd, prefix, has_downsample):
-    out = {}
-    for i in (1, 2, 3):
-        out[f"conv{i}"] = _conv(sd, f"{prefix}.conv{i}")
-        out[f"bn{i}"] = _frozen_bn(sd, f"{prefix}.bn{i}")
-    if has_downsample:
-        out["downsample_conv"] = _conv(sd, f"{prefix}.downsample.0")
-        out["downsample_bn"] = _frozen_bn(sd, f"{prefix}.downsample.1")
-    return out
-
-
-def convert_detector(sd, d_model=256, enc_layers=6, dec_layers=6):
-    """Returns (params, frozen) trees for interactron_tpu.models.detr.DETR.
-
-    `sd` keys as saved by the reference detector state_dict (optionally
-    nested under 'detector.' for full-model checkpoints).
-    """
-    # tolerate full-model checkpoints
-    if any(k.startswith("detector.") for k in sd):
-        sd = {k[len("detector.") :]: v for k, v in sd.items() if k.startswith("detector.")}
-    bb = "backbone.0.body"
-    frozen_backbone = {
-        "conv1": _conv(sd, f"{bb}.conv1"),
-        "bn1": _frozen_bn(sd, f"{bb}.bn1"),
-    }
-    params_backbone = {}
-    blocks_per = {"layer1": 3, "layer2": 4, "layer3": 6, "layer4": 3}
-    for layer, nblocks in blocks_per.items():
-        for i in range(nblocks):
-            tree = _resnet_block(sd, f"{bb}.{layer}.{i}", has_downsample=(i == 0))
-            dst = frozen_backbone if layer == "layer1" else params_backbone
-            # split conv kernels (frozen for layer1) from BN (always frozen)
-            name = f"{layer}_block{i}"
-            if layer == "layer1":
-                frozen_backbone[name] = tree
-            else:
-                params_backbone[name] = {
-                    k: v for k, v in tree.items() if k.startswith("conv") or k == "downsample_conv"
-                }
-                frozen_backbone.setdefault(name, {}).update(
-                    {k: v for k, v in tree.items() if "bn" in k}
-                )
-    params = {
-        "backbone": params_backbone,
-        "input_proj": {
-            "kernel": _t(sd["input_proj.weight"])[:, :, 0, 0].T,
-            "bias": _t(sd["input_proj.bias"]),
-        },
-        "query_embed": _t(sd["query_embed.weight"]),
-        "class_embed": _linear(sd, "class_embed"),
-        "bbox_embed": {
-            f"layer{i}": _linear(sd, f"bbox_embed.layers.{i}") for i in range(3)
-        },
-    }
-    for i in range(enc_layers):
-        p = f"transformer.encoder.layers.{i}"
-        params[f"encoder_layer{i}"] = {
-            "self_attn": _mha(sd, p + ".self_attn", d_model),
-            "linear1": _linear(sd, p + ".linear1"),
-            "linear2": _linear(sd, p + ".linear2"),
-            "norm1": {"scale": _t(sd[p + ".norm1.weight"]), "bias": _t(sd[p + ".norm1.bias"])},
-            "norm2": {"scale": _t(sd[p + ".norm2.weight"]), "bias": _t(sd[p + ".norm2.bias"])},
-        }
-    dec = {}
-    for i in range(dec_layers):
-        p = f"transformer.decoder.layers.{i}"
-        dec[f"layer{i}"] = {
-            "self_attn": _mha(sd, p + ".self_attn", d_model),
-            "cross_attn": _mha(sd, p + ".multihead_attn", d_model),
-            "linear1": _linear(sd, p + ".linear1"),
-            "linear2": _linear(sd, p + ".linear2"),
-            "norm1": {"scale": _t(sd[p + ".norm1.weight"]), "bias": _t(sd[p + ".norm1.bias"])},
-            "norm2": {"scale": _t(sd[p + ".norm2.weight"]), "bias": _t(sd[p + ".norm2.bias"])},
-            "norm3": {"scale": _t(sd[p + ".norm3.weight"]), "bias": _t(sd[p + ".norm3.bias"])},
-        }
-    dec["norm"] = {
-        "scale": _t(sd["transformer.decoder.norm.weight"]),
-        "bias": _t(sd["transformer.decoder.norm.bias"]),
-    }
-    params["decoder"] = dec
-    return params, {"detector": {"backbone": frozen_backbone}}
-
-
-def convert_fusion_gpt(sd, num_layers=4):
-    """models/transformer.py + gpt.py state_dict -> FusionGPT params."""
-    if any(k.startswith("fusion.") for k in sd):
-        sd = {k[len("fusion.") :]: v for k, v in sd.items() if k.startswith("fusion.")}
-    params = {
-        "img_feature_embedding": _linear(sd, "img_feature_embedding"),
-        "prediction_embedding": _linear(sd, "prediction_embedding"),
-        "action_tokens": _t(sd["action_tokens"]),
-        "seq_pos_embed": _t(sd["model.seq_pos_embed"])[0],
-        "heads": {
-            "box_decoder": {f"layer{i}": _linear(sd, f"box_decoder.layers.{i}") for i in range(3)},
-            "logit_decoder": _linear(sd, "logit_decoder"),
-            "loss_decoder": {f"layer{i}": _linear(sd, f"loss_decoder.layers.{i}") for i in range(3)},
-            "action_decoder": {f"layer{i}": _linear(sd, f"action_decoder.layers.{i}") for i in range(3)},
-        },
-        "ln_f": {"scale": _t(sd["model.ln_f.weight"]), "bias": _t(sd["model.ln_f.bias"])},
-        "head": {"kernel": _t(sd["model.head.weight"]).T},
-    }
-    for i in range(num_layers):
-        p = f"model.blocks.{i}"
-        params[f"block{i}"] = {
-            "ln1": {"scale": _t(sd[p + ".ln1.weight"]), "bias": _t(sd[p + ".ln1.bias"])},
-            "ln2": {"scale": _t(sd[p + ".ln2.weight"]), "bias": _t(sd[p + ".ln2.bias"])},
-            "attn": {
-                "q_proj": _linear(sd, p + ".attn.query"),
-                "k_proj": _linear(sd, p + ".attn.key"),
-                "v_proj": _linear(sd, p + ".attn.value"),
-                "out_proj": _linear(sd, p + ".attn.proj"),
-            },
-            "mlp_fc": _linear(sd, p + ".mlp.0"),
-            "mlp_proj": _linear(sd, p + ".mlp.2"),
-        }
-    return params
-
-
-def main():
-    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
-    import torch
-
-    from interactron_tpu.utils.checkpoint import save_pytree
-
-    blob = torch.load(src, map_location="cpu")
-    sd = blob.get("model", blob)
-    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    det_params, frozen = convert_detector(sd)
-    tree = {"detector": det_params}
-    if kind in ("interactron", "multiframe"):
-        tree["fusion"] = convert_fusion_gpt(sd)
-    save_pytree(dst, {"params": tree, "frozen": frozen})
-    print(f"wrote {dst}")
-
+from interactron_tpu.utils.convert_weights import (  # noqa: F401
+    _conv,
+    _frozen_bn,
+    _linear,
+    _mha,
+    convert_detector,
+    convert_fusion_gpt,
+    main,
+)
 
 if __name__ == "__main__":
     main()
