@@ -79,7 +79,7 @@ def data_parallel_grads(task, mesh):
     """Wrap task.grads_and_metrics in a shard_map over 'dp': each device
     processes its episode shard, grads psum, metrics pmean, policy path
     state merged by min-cost."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local_fn(params, frozen, batch, rng, path_state):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
@@ -94,5 +94,5 @@ def data_parallel_grads(task, mesh):
         mesh=mesh,
         in_specs=(P(), P(), P("dp"), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )

