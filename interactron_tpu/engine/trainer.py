@@ -202,9 +202,14 @@ class Trainer:
         def run_epoch(split, params, opt_states, path_state, key, epoch):
             is_train = split == "train"
             ds = self.train_dataset if is_train else self.test_dataset
+            # test epochs keep partial tail batches (the reference's test
+            # DataLoader does; dropping them silently skips episodes from the
+            # per-epoch metrics). Train keeps fixed shapes: the sharded train
+            # step requires batch % dp == 0, and a skipped tail batch only
+            # reorders which episodes a shuffle epoch sees.
             loader = EpisodeLoader(
                 ds, self.batch_size, shuffle=is_train, num_workers=self.num_workers,
-                seed=epoch,
+                seed=epoch, drop_last=is_train,
             )
             losses = []
             for it, batch in enumerate(loader):

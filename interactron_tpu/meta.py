@@ -18,6 +18,36 @@ detector's trainable param pytree:
 
 import jax
 import jax.numpy as jnp
+from flax import traverse_util
+
+
+def _inner_static(path):
+    """Reference quirk (meta_utils.py:5-24): get_parameters recurses into
+    model.children() and collects _parameters of LEAF modules only, so the
+    direct parameters of torch.nn.MultiheadAttention (in_proj_weight/bias —
+    MHA has an out_proj child, making it a non-leaf) are silently excluded
+    from the inner-loop adaptation. They still participate in every forward
+    as the ORIGINAL module params, so outer gradients from the supervisor
+    losses flow into them. In our layout that subset is the q/k/v projection
+    kernels+biases of every DETR self_attn/cross_attn."""
+    return any(p in ("self_attn", "cross_attn") for p in path) and any(
+        p in ("q_proj", "k_proj", "v_proj") for p in path
+    )
+
+
+def split_inner(det_params):
+    """Partition detector params into (adapted, static) flat dicts for the
+    inner loop: `adapted` is what the reference's get_parameters returns,
+    `static` the in_proj subset it skips (see _inner_static)."""
+    flat = traverse_util.flatten_dict(det_params)
+    adapted = {k: v for k, v in flat.items() if not _inner_static(k)}
+    static = {k: v for k, v in flat.items() if _inner_static(k)}
+    return adapted, static
+
+
+def merge_inner(adapted, static):
+    """Inverse of split_inner: rebuild the detector param tree."""
+    return traverse_util.unflatten_dict({**adapted, **static})
 
 
 def clipped_sgd_step(params, grads, lr, clip=0.01, dtype=None):

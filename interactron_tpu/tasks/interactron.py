@@ -34,7 +34,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from interactron_tpu.meta import clipped_sgd_step, learned_loss_value
+from interactron_tpu.meta import (
+    clipped_sgd_step,
+    learned_loss_value,
+    merge_inner,
+    split_inner,
+)
 from interactron_tpu.tasks.base import (
     TaskModel,
     scan_microbatches,
@@ -70,28 +75,36 @@ class InteractronRandomTask(TaskModel):
         fus_p = params["fusion"]
         kr, k1, k2, k3, k4 = jax.random.split(key, 5)
         ridx = jax.random.randint(kr, (), 0, C.NUM_FRAMES)
-        det_sg = jax.lax.stop_gradient(det_p)
+
+        # The inner loop adapts only the subset the reference's
+        # get_parameters collects: the MHA q/k/v projections stay STATIC and
+        # keep their ORIGINAL (non-detached) params in every pass, so outer
+        # supervisor gradients flow into them (meta.py::_inner_static).
+        adapted_p, static_p = split_inner(det_p)
+        cast = (
+            (lambda t: t)
+            if self.inner_dtype is None
+            else (lambda t: jax.tree_util.tree_map(
+                lambda p: p.astype(self.inner_dtype), t))
+        )
+        # differentiate at reduced-precision params: the forward casts
+        # weights to the compute dtype anyway, and rooting the grad there
+        # makes every cotangent/grad tensor bf16 (halves the dominant HBM
+        # traffic of the meta step)
+        adapted_base = cast(jax.lax.stop_gradient(adapted_p))
+        static_c = cast(static_p)  # NOT stopped — reference leaks outer grads
 
         # frozen stem+layer1 features are identical across all detector
         # passes in this episode — compute once (pure frozen function)
         prefix = self.frozen_prefix(frozen, ep["frames"])
 
-        # differentiate at reduced-precision params: the forward casts
-        # weights to the compute dtype anyway, and rooting the grad there
-        # makes every cotangent/grad tensor bf16 (halves the dominant HBM
-        # traffic of the meta step)
-        det_base = (
-            det_sg
-            if self.inner_dtype is None
-            else jax.tree_util.tree_map(lambda p: p.astype(self.inner_dtype), det_sg)
-        )
-
-        def inner(dp):
+        def inner(a):
             # this closure is differentiated twice (the supervisor backprops
             # through its gradient) — the first-order-only fused attention
             # kernel must not trace here during training
             from interactron_tpu.ops.attention import flash_disabled
 
+            dp = merge_inner(a, static_c)
             with flash_disabled() if train else _nullcontext():
                 out = self.detr_apply(
                     dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
@@ -99,10 +112,12 @@ class InteractronRandomTask(TaskModel):
                 fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
             return learned_loss_value(fus), fus
 
-        (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(det_base)
+        (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(adapted_base)
 
         # ---- supervisor (second-order) path
-        fast2 = clipped_sgd_step(det_base, g, self.adaptive_lr)
+        fast2 = merge_inner(
+            clipped_sgd_step(adapted_base, g, self.adaptive_lr), static_c
+        )
         post = self.detr_apply(
             fast2, frozen, prefix, deterministic=not train, rng=k3, stage="from_prefix"
         )
@@ -122,7 +137,13 @@ class InteractronRandomTask(TaskModel):
         reward = jax.lax.stop_gradient(_weighted(gt_losses))
 
         # ---- detector (first-order) path
-        fast1 = clipped_sgd_step(det_p, jax.lax.stop_gradient(g), self.adaptive_lr, dtype=self.inner_dtype)
+        fast1 = merge_inner(
+            clipped_sgd_step(
+                adapted_p, jax.lax.stop_gradient(g), self.adaptive_lr,
+                dtype=self.inner_dtype,
+            ),
+            static_c,
+        )
         fr = jax.lax.dynamic_slice_in_dim(prefix, ridx, 1, axis=0)
         tgt_r = {
             k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
@@ -206,7 +227,11 @@ class InteractronRandomTask(TaskModel):
         out["total_loss"] = m["total_loss"] / b
         return out
 
-    def grads_and_metrics(self, params, frozen, batch, rng, path_state=None):
+    def grads_and_metrics(self, params, frozen, batch, rng, path_state=None,
+                          train=True):
+        """`train=False` mirrors the reference's eval-mode forward (dropout
+        off, grads still produced — its test epoch runs the same backward
+        path with model.train(False))."""
         b = batch["frames"].shape[0]
         mb = max(1, self.inner_batch)
         num_micro = max(1, b // mb)
@@ -221,7 +246,7 @@ class InteractronRandomTask(TaskModel):
             g_acc, m_acc, key, pstate = carry
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, mb_batch["frames"].shape[0])
-            f = lambda p: self._mb_fwd(p, frozen, mb_batch, keys, True)
+            f = lambda p: self._mb_fwd(p, frozen, mb_batch, keys, train)
             (loss_sum, logits), vjp_fn, aux = jax.vjp(f, params, has_aux=True)
             loss_path, ce_grad, pstate = self._policy_piece(logits, aux, mb_batch, pstate)
             (g,) = vjp_fn((jnp.ones(()), ce_grad))
@@ -269,19 +294,27 @@ class InteractronRandomTask(TaskModel):
         frames = episode["frames"][0]
         det_p = params["detector"]
         prefix = self.frozen_prefix(frozen, frames)
-        det_base = (
-            det_p
+        adapted_p, static_p = split_inner(det_p)
+        cast = (
+            (lambda t: t)
             if self.inner_dtype is None
-            else jax.tree_util.tree_map(lambda p: p.astype(self.inner_dtype), det_p)
+            else (lambda t: jax.tree_util.tree_map(
+                lambda p: p.astype(self.inner_dtype), t))
         )
+        adapted_base = cast(adapted_p)
+        static_c = cast(static_p)
 
-        def inner(dp):
+        def inner(a):
+            dp = merge_inner(a, static_c)
             out = self.detr_apply(dp, frozen, prefix, deterministic=True, stage="from_prefix")
             fus = self.fusion_apply(params["fusion"], out, deterministic=True)
             return learned_loss_value(fus)
 
-        g = jax.grad(inner)(jax.lax.stop_gradient(det_base))
-        fast = clipped_sgd_step(det_p, g, self.adaptive_lr, dtype=self.inner_dtype)
+        g = jax.grad(inner)(jax.lax.stop_gradient(adapted_base))
+        fast = merge_inner(
+            clipped_sgd_step(adapted_p, g, self.adaptive_lr, dtype=self.inner_dtype),
+            static_c,
+        )
         out0 = self.detr_apply(fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix")
         return {
             "pred_logits": out0["pred_logits"][None],

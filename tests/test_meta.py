@@ -80,3 +80,48 @@ def test_path_bank_batch_ordering():
         np.asarray([9.0], np.float32), np.asarray([[0, 1, 2, 3]], np.int32), np.asarray([7], np.int32)
     )
     assert list(out2[0]) == [1, 1, 2, 3]  # root label now from the rew=1 path
+
+
+def test_split_inner_excludes_mha_in_proj():
+    """The inner loop must skip exactly the MHA q/k/v projections — the
+    reference's get_parameters collects leaf-module params only, so
+    nn.MultiheadAttention's direct in_proj params are never adapted
+    (meta_utils.py:5-24; verified live in test_reference_differential)."""
+    import jax.numpy as jnp
+
+    from interactron_tpu.meta import merge_inner, split_inner
+
+    tree = {
+        "backbone": {"layer2_block0": {"conv1": {"kernel": jnp.ones((1, 1, 2, 2))}}},
+        "encoder_layer0": {
+            "self_attn": {
+                "q_proj": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+                "k_proj": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+                "v_proj": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+                "out_proj": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+            },
+            "norm1": {"scale": jnp.ones(2), "bias": jnp.zeros(2)},
+        },
+        "decoder": {
+            "layer0": {
+                "cross_attn": {
+                    "q_proj": {"kernel": jnp.ones((2, 2))},
+                    "out_proj": {"kernel": jnp.ones((2, 2))},
+                }
+            }
+        },
+        "class_embed": {"kernel": jnp.ones((2, 3))},
+    }
+    adapted, static = split_inner(tree)
+    static_keys = set(static)
+    assert ("encoder_layer0", "self_attn", "q_proj", "kernel") in static_keys
+    assert ("encoder_layer0", "self_attn", "k_proj", "bias") in static_keys
+    assert ("decoder", "layer0", "cross_attn", "q_proj", "kernel") in static_keys
+    # out_proj IS a leaf Linear child in torch -> adapted; so is everything else
+    assert ("encoder_layer0", "self_attn", "out_proj", "kernel") in set(adapted)
+    assert ("class_embed", "kernel") in set(adapted)
+    assert ("backbone", "layer2_block0", "conv1", "kernel") in set(adapted)
+    assert len(static_keys) == 7
+
+    rebuilt = merge_inner(adapted, static)
+    assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(tree)

@@ -1,0 +1,235 @@
+"""Differential parity against the LIVE reference implementation.
+
+The reference torch code at /root/reference runs in-process (via the
+torchvision shim) with randomly initialized full-size weights; the same
+weights convert through interactron_tpu.utils.convert_weights into our Flax
+task. On an identical synthetic episode we then assert:
+
+  1. `predict` (learned-loss inner grad -> clipped SGD -> adapted frame-0
+     detection, models/interactron.py:31-59) agrees on pred_logits/boxes;
+  2. one eval-mode `forward` agrees on every supervisor/detector loss
+     component plus the policy loss/reward (models/interactron.py:61-151);
+  3. the fusion parameter gradients — which flow THROUGH the detector's
+     inner gradient (second order, create_graph=True at interactron.py:99)
+     — agree between torch autograd and our jax.vjp formulation.
+
+This is the strongest parity evidence obtainable without the iTHOR data:
+real reference code, full channel widths, second-order gradients.
+Resolution is reduced to 96x96 (6x6 feature map) to keep CPU time sane;
+both sides see the same shapes.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.torchvision_shim import install
+
+install()
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
+
+import jax
+import jax.numpy as jnp
+
+RES = 96  # 6x6 DC5 feature map; 5*(36+50)+5 = 435 fusion tokens
+NUM_CLASSES = 1235
+S = 5
+
+
+def _make_episode(seed=0):
+    rng = np.random.RandomState(seed)
+    frames = (rng.randn(1, S, RES, RES, 3) * 0.4).astype(np.float32)
+    m = 3
+    labels = rng.randint(1, NUM_CLASSES, (1, S, m)).astype(np.int32)
+    boxes = np.stack(
+        [
+            rng.uniform(0.35, 0.65, (1, S, m)),
+            rng.uniform(0.35, 0.65, (1, S, m)),
+            rng.uniform(0.1, 0.25, (1, S, m)),
+            rng.uniform(0.1, 0.25, (1, S, m)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    valid = np.ones((1, S, m), bool)
+    actions = rng.randint(0, 4, (1, S)).astype(np.int32)
+    return {
+        "frames": frames,
+        "labels": labels,
+        "boxes": boxes,
+        "valid": valid,
+        "actions": actions,
+        "episode_uid": np.zeros((1,), np.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    """(reference torch model, our task, our params/frozen, episode)."""
+    from utils.config_utils import get_config as ref_get_config  # reference's
+
+    ref_cfg = ref_get_config("/root/reference/configs/interactron.yaml")
+
+    # detector weights file the reference constructor will load
+    torch.manual_seed(11)
+    from models.detr_models.detr import build as ref_build
+
+    det, _, _ = ref_build(ref_cfg.MODEL)
+    wpath = str(tmp_path_factory.mktemp("w") / "detr.pth")
+    torch.save({"model": det.state_dict()}, wpath)
+
+    ref_cfg.MODEL.WEIGHTS = wpath
+    torch.manual_seed(12)
+    from models.interactron import interactron as ref_interactron
+
+    ref_model = ref_interactron(ref_cfg.MODEL)
+    ref_model.eval()
+
+    # convert the ACTUAL reference model's weights into our trees
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    from interactron_tpu.utils.convert_weights import (
+        convert_detector,
+        convert_fusion_gpt,
+    )
+
+    det_params, det_frozen = convert_detector(sd)
+    params = {"detector": det_params, "fusion": convert_fusion_gpt(sd)}
+    frozen = det_frozen
+
+    from interactron_tpu.tasks import InteractronTask
+    from interactron_tpu.utils.config import get_config
+
+    cfg = get_config("/root/repo/configs/interactron.yaml")
+    cfg.MODEL.TEST_RESOLUTION = RES
+    cfg.MODEL.DTYPE = "float32"  # exact comparison: no bf16 rounding
+    cfg.MODEL.WEIGHTS = None
+    task = InteractronTask(cfg)
+
+    return ref_model, task, params, frozen, _make_episode()
+
+
+def _torch_data(ep, with_labels=False):
+    frames = torch.tensor(ep["frames"]).permute(0, 1, 4, 2, 3).contiguous()
+    data = {
+        "frames": frames,
+        "masks": torch.zeros((1, S, RES, RES), dtype=torch.bool),
+    }
+    if with_labels:
+        data["category_ids"] = [
+            [torch.tensor(ep["labels"][0, j], dtype=torch.long) for j in range(S)]
+        ]
+        data["boxes"] = [[torch.tensor(ep["boxes"][0, j]) for j in range(S)]]
+        data["actions"] = [torch.tensor(ep["actions"][0], dtype=torch.long)]
+        data["initial_image_path"] = ["episode_0"]
+    return data
+
+
+def test_predict_differential(pair):
+    ref_model, task, params, frozen, ep = pair
+    ref_out = ref_model.predict(_torch_data(ep))
+    ref_logits = ref_out["pred_logits"].detach().numpy()  # (1, 1, 50, 1236)
+    ref_boxes = ref_out["pred_boxes"].detach().numpy()
+
+    out = jax.jit(task.predict)(params, frozen, {"frames": jnp.asarray(ep["frames"])})
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]), ref_logits, atol=2e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), ref_boxes, atol=1e-3
+    )
+
+
+def _ridx_key(target_ridx, base=0):
+    """Find a PRNG key whose derived episode key yields the wanted random
+    frame index, mirroring grads_and_metrics's split chain (step key ->
+    microbatch sub -> per-episode keys -> kr), so the reference's pinned
+    random.randint can be matched."""
+    import interactron_tpu.utils.constants as C
+
+    for seed in range(base, base + 200):
+        key = jax.random.PRNGKey(seed)
+        _, sub = jax.random.split(key)
+        ep_key = jax.random.split(sub, 1)[0]
+        kr = jax.random.split(ep_key, 5)[0]
+        if int(jax.random.randint(kr, (), 0, C.NUM_FRAMES)) == target_ridx:
+            return key
+    raise AssertionError("no key found")
+
+
+def test_forward_losses_and_second_order_grads_differential(pair, monkeypatch):
+    ref_model, task, params, frozen, ep = pair
+
+    # pin the reference's random frame to 0 and mirror it on our side
+    import random as pyrandom
+
+    monkeypatch.setattr(pyrandom, "randint", lambda a, b: 0)
+    key = _ridx_key(0)
+
+    data = _torch_data(ep, with_labels=True)
+    for p in ref_model.parameters():
+        p.grad = None
+    ref_model.path_storage = {}
+    _, ref_losses = ref_model.forward(data)
+    ref_losses = {k: float(v) for k, v in ref_losses.items()}
+
+    # ---- our side: one-episode grads + metrics, fresh path state
+    path_state = task.init_path_state(4)
+    batch = {k: jnp.asarray(v) for k, v in ep.items()}
+    # the reference model is in eval() mode: dropout off, grads still flow
+    grads, metrics, _ = jax.jit(
+        lambda p, f, b, k, s: task.grads_and_metrics(p, f, b, k, s, train=False)
+    )(params, frozen, batch, key, path_state)
+    metrics = {k: float(v) for k, v in metrics.items()}
+
+    for k in ("loss_ce", "loss_bbox", "loss_giou"):
+        np.testing.assert_allclose(
+            metrics[k.replace("loss", "loss_supervisor")],
+            ref_losses[k.replace("loss", "loss_supervisor")],
+            rtol=2e-3, atol=2e-4, err_msg=f"supervisor {k}",
+        )
+        np.testing.assert_allclose(
+            metrics[k.replace("loss", "loss_detector")],
+            ref_losses[k.replace("loss", "loss_detector")],
+            rtol=2e-3, atol=2e-4, err_msg=f"detector {k}",
+        )
+    np.testing.assert_allclose(
+        metrics["loss_supervisor_path"], ref_losses["loss_supervisor_path"],
+        rtol=2e-3, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        metrics["policy_reward"], ref_losses["loss_supervisor_policy_reward"]
+        if "loss_supervisor_policy_reward" in ref_losses
+        else ref_losses["policy_reward"],
+        rtol=2e-3, atol=2e-4,
+    )
+
+    # ---- second-order fusion grads: torch autograd vs our vjp formulation.
+    # Fusion grads are independent of the random frame (the first-order
+    # detector term never touches fusion params), so they compare exactly.
+    ref_fusion_grads = {
+        name: p.grad.detach().numpy()
+        for name, p in ref_model.fusion.named_parameters()
+        if p.grad is not None
+    }
+    checks = [
+        ("action_decoder.layers.0.weight",
+         np.asarray(grads["fusion"]["heads"]["action_decoder"]["layer0"]["kernel"]).T),
+        ("loss_decoder.layers.2.weight",
+         np.asarray(grads["fusion"]["heads"]["loss_decoder"]["layer2"]["kernel"]).T),
+        ("img_feature_embedding.weight",
+         np.asarray(grads["fusion"]["img_feature_embedding"]["kernel"]).T),
+        ("model.blocks.0.attn.query.weight",
+         np.asarray(grads["fusion"]["block0"]["attn"]["q_proj"]["kernel"]).T),
+        ("model.head.weight",
+         np.asarray(grads["fusion"]["head"]["kernel"]).T),
+    ]
+    for name, ours in checks:
+        ref_g = ref_fusion_grads[name]
+        denom = np.abs(ref_g).max() + 1e-12
+        np.testing.assert_allclose(
+            ours / denom, ref_g / denom, atol=5e-3,
+            err_msg=f"fusion grad {name}",
+        )

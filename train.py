@@ -13,13 +13,34 @@ def _maybe_init_distributed():
     """Multi-host: initialize jax.distributed when a coordinator is
     configured (the TPU-native analog of the reference's vestigial
     init_distributed_mode, misc.py:405-427 — which was never called; here it
-    actually works)."""
+    actually works and is exercised by tests/test_distributed.py).
+
+    Env contract (mirrors the reference's RANK/WORLD_SIZE parsing):
+      JAX_COORDINATOR_ADDRESS  host:port of process 0 (required to engage)
+      JAX_NUM_PROCESSES        world size  (optional on TPU pods — the PJRT
+      JAX_PROCESS_ID           rank         runtime auto-detects both)
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS"):
-        import jax
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if not addr:
+        return False
+    import jax
 
-        jax.distributed.initialize()
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )
+    print(
+        f"jax.distributed: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
+    return True
 
 
 def train():
