@@ -27,10 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
-BATCH = 8
-ITERS = 8
+BATCH = int(os.environ.get("BENCH_BATCH", 16))
+ITERS = int(os.environ.get("BENCH_ITERS", 8))
 
 
 def build(flash):

@@ -18,6 +18,7 @@ import contextlib
 _USE_PALLAS = False
 _FLASH_SUPPRESSED = False
 _USE_CHUNKED = False
+_CHUNK_BLOCK = 256
 
 
 def set_flash_attention(enabled: bool):
@@ -120,10 +121,11 @@ def dot_product_attention(
 
 
 def _chunked_attention(q, k, v, scale, *, dropout_rate=0.0, deterministic=True,
-                       dropout_rng=None, block=256):
+                       dropout_rng=None, block=None):
     """Blockwise attention via lax.scan with a rematerialized body: peak
     memory O(block x S) instead of O(T x S), differentiable to any order
     (unlike the Pallas custom-VJP kernel)."""
+    block = block if block is not None else _CHUNK_BLOCK
     b, h, t, d = q.shape
     t_pad = -(-t // block) * block
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))) if t_pad != t else q

@@ -179,6 +179,46 @@ def convert_fusion_gpt(sd, num_layers=4):
     return params
 
 
+def convert_fusion_xattn(sd, d_model=512, num_layers=4):
+    """models/new_transformer.py state_dict -> FusionXAttn params.
+
+    pos_embed (requires_grad=False fixed sincos, new_transformer.py:30) is
+    NOT converted: our module recomputes it (parity-tested in
+    tests/test_position_encoding.py)."""
+    if any(k.startswith("fusion.") for k in sd):
+        sd = {k[len("fusion.") :]: v for k, v in sd.items() if k.startswith("fusion.")}
+    params = {
+        "img_feature_embedding": _linear(sd, "img_feature_embedding"),
+        "prediction_embedding": _linear(sd, "prediction_embedding"),
+        "action_tokens": _t(sd["action_tokens"]),
+        "query_embed": _t(sd["query_embed"])[0],
+        "heads": {
+            "box_decoder": {f"layer{i}": _linear(sd, f"box_decoder.layers.{i}") for i in range(3)},
+            "logit_decoder": _linear(sd, "logit_decoder"),
+            "loss_decoder": {f"layer{i}": _linear(sd, f"loss_decoder.layers.{i}") for i in range(3)},
+            "action_decoder": {f"layer{i}": _linear(sd, f"action_decoder.layers.{i}") for i in range(3)},
+        },
+    }
+    dec = {}
+    for i in range(num_layers):
+        p = f"transformer.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": _mha(sd, p + ".self_attn", d_model),
+            "cross_attn": _mha(sd, p + ".multihead_attn", d_model),
+            "linear1": _linear(sd, p + ".linear1"),
+            "linear2": _linear(sd, p + ".linear2"),
+            "norm1": {"scale": _t(sd[p + ".norm1.weight"]), "bias": _t(sd[p + ".norm1.bias"])},
+            "norm2": {"scale": _t(sd[p + ".norm2.weight"]), "bias": _t(sd[p + ".norm2.bias"])},
+            "norm3": {"scale": _t(sd[p + ".norm3.weight"]), "bias": _t(sd[p + ".norm3.bias"])},
+        }
+    dec["norm"] = {
+        "scale": _t(sd["transformer.norm.weight"]),
+        "bias": _t(sd["transformer.norm.bias"]),
+    }
+    params["transformer"] = dec
+    return params
+
+
 def main():
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     import torch
@@ -192,6 +232,8 @@ def main():
     tree = {"detector": det_params}
     if kind in ("interactron", "multiframe"):
         tree["fusion"] = convert_fusion_gpt(sd)
+    elif kind == "interactron_random":
+        tree["fusion"] = convert_fusion_xattn(sd)
     save_pytree(dst, {"params": tree, "frozen": frozen})
     print(f"wrote {dst}")
 

@@ -142,6 +142,68 @@ def test_predict_differential(pair):
     )
 
 
+def test_predict_differential_interactron_random(tmp_path):
+    """Same live differential for the interactron_random variant: DETR +
+    cross-attention fusion (models/new_transformer.py), adaptive predict
+    (models/interactron_random.py:27-55). Runs at the real 300x300
+    resolution because the reference hardcodes the 19x19 memory layout
+    (new_transformer.py:28-30)."""
+    from utils.config_utils import get_config as ref_get_config
+
+    ref_cfg = ref_get_config("/root/reference/configs/interactron_random.yaml")
+    torch.manual_seed(21)
+    from models.detr_models.detr import build as ref_build
+
+    det, _, _ = ref_build(ref_cfg.MODEL)
+    wpath = str(tmp_path / "detr.pth")
+    torch.save({"model": det.state_dict()}, wpath)
+    ref_cfg.MODEL.WEIGHTS = wpath
+    torch.manual_seed(22)
+    # the reference's sincos helpers use the long-removed np.float alias
+    # (new_transformer.py:100, dead on modern numpy) — restore it to run
+    np.float = float
+    from models.interactron_random import interactron_random as ref_random
+
+    ref_model = ref_random(ref_cfg.MODEL)
+    ref_model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    from interactron_tpu.utils.convert_weights import (
+        convert_detector,
+        convert_fusion_xattn,
+    )
+
+    det_params, det_frozen = convert_detector(sd)
+    params = {"detector": det_params, "fusion": convert_fusion_xattn(sd)}
+
+    from interactron_tpu.tasks import InteractronRandomTask
+    from interactron_tpu.utils.config import get_config
+
+    cfg = get_config("/root/repo/configs/interactron_random.yaml")
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.WEIGHTS = None
+    task = InteractronRandomTask(cfg)
+    assert task.img_size == 300  # the reference's hardcoded 19x19 map
+
+    rng = np.random.RandomState(3)
+    frames = (rng.randn(1, S, 300, 300, 3) * 0.4).astype(np.float32)
+    tdata = {
+        "frames": torch.tensor(frames).permute(0, 1, 4, 2, 3).contiguous(),
+        "masks": torch.zeros((1, S, 300, 300), dtype=torch.bool),
+    }
+    ref_out = ref_model.predict(tdata)
+    out = jax.jit(task.predict)(params, det_frozen, {"frames": jnp.asarray(frames)})
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"]),
+        ref_out["pred_logits"].detach().numpy(),
+        atol=2e-3, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"]), ref_out["pred_boxes"].detach().numpy(),
+        atol=1e-3,
+    )
+
+
 def _ridx_key(target_ridx, base=0):
     """Find a PRNG key whose derived episode key yields the wanted random
     frame index, mirroring grads_and_metrics's split chain (step key ->

@@ -21,10 +21,17 @@ def main():
     ap.add_argument("--inner", type=int, default=1)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--flash", action="store_true", default=True)
+    ap.add_argument("--chunked", action="store_true")
+    ap.add_argument("--block", type=int, default=None)
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    from interactron_tpu.ops.attention import set_flash_attention
+    from interactron_tpu.ops import attention as attn_mod
+    from interactron_tpu.ops.attention import set_chunked_attention, set_flash_attention
+
+    set_chunked_attention(args.chunked)
+    if args.block:
+        attn_mod._CHUNK_BLOCK = args.block
     from interactron_tpu.tasks import InteractronTask
     from interactron_tpu.utils.config import get_config
     from __graft_entry__ import _episode_batch

@@ -56,6 +56,55 @@ def main():
     det = jax.jit(lambda p, x: task.detr_apply(p, frozen, x.reshape(-1, *x.shape[2:])))
     print("detr fwd (B*5 frames): %.1f ms" % timed(det, params["detector"], frames))
 
+    prefix_fn = jax.jit(lambda x: task.frozen_prefix(frozen, x.reshape(-1, *x.shape[2:])))
+    print("frozen prefix (stem+layer1): %.1f ms" % timed(prefix_fn, frames))
+    prefix = prefix_fn(frames)
+
+    from_prefix = jax.jit(
+        lambda p, pr: task.detr_apply(p, frozen, pr, stage="from_prefix")
+    )
+    print("detr from_prefix fwd: %.1f ms" % timed(from_prefix, params["detector"], prefix))
+
+    det_out = from_prefix(params["detector"], prefix)
+    fus_in = {k: det_out[k].reshape(B, 5, *det_out[k].shape[1:])
+              for k in ("embedded_memory_features", "box_features", "pred_logits", "pred_boxes")}
+    fus_only = jax.jit(lambda p, o: jax.vmap(lambda oo: task.fusion_apply(p, oo))(o))
+    print("fusion fwd alone: %.1f ms" % timed(fus_only, params["fusion"], fus_in))
+
+    # the REAL predict inner: bf16-rooted grad at the staged prefix
+    from interactron_tpu.meta import clipped_sgd_step, merge_inner, split_inner
+
+    def staged_inner_grad(p, x):
+        def one(fr):
+            pr = task.frozen_prefix(frozen, fr)
+            adapted, static = split_inner(p["detector"])
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda q: q.astype(task.inner_dtype) if task.inner_dtype else q, t)
+            a_b, s_c = cast(adapted), cast(static)
+            def il(a):
+                o = task.detr_apply(merge_inner(a, s_c), frozen, pr, stage="from_prefix")
+                f = task.fusion_apply(p["fusion"], o)
+                return learned_loss_value(f)
+            return jax.grad(il)(a_b)
+        return jax.vmap(one)(x)
+
+    print("staged inner grad (bf16 root): %.1f ms" % timed(jax.jit(staged_inner_grad), params, frames))
+
+    g = jax.jit(staged_inner_grad)(params, frames)
+
+    def update_and_detect(p, gg, x):
+        def one(gi, fr):
+            pr = task.frozen_prefix(frozen, fr[0:1])
+            adapted, static = split_inner(p["detector"])
+            fast = merge_inner(
+                clipped_sgd_step(adapted, gi, task.adaptive_lr, dtype=task.inner_dtype),
+                static,
+            )
+            return task.detr_apply(fast, frozen, pr, stage="from_prefix")["pred_logits"]
+        return jax.vmap(one)(gg, x)
+
+    print("clip+update+frame0 detect: %.1f ms" % timed(jax.jit(update_and_detect), params, g, frames))
+
     def fuse(p, x):
         out = task.detr_apply(p["detector"], frozen, x.reshape(-1, *x.shape[2:]))
         out = {k: v.reshape(B, 5, *v.shape[1:]) for k, v in out.items()}
