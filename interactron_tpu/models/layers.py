@@ -48,14 +48,27 @@ class Conv2d(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = ((pad, pad), (pad, pad))
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=self.strides,
-            padding=pad,
-            rhs_dilation=self.dilation,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.kernel_size == (1, 1) and pad in (0, ((0, 0), (0, 0))):
+            # A 1x1 conv IS a matmul. Expressing it as dot matters under the
+            # vmapped meta step: the per-episode weight gradient then lowers
+            # to a batched GEMM instead of a batch-grouped convolution,
+            # which the TPU executes far less efficiently (profiled: the
+            # grouped dW convs dominated the predict step's conv time).
+            sh, sw = self.strides
+            xs = x[:, ::sh, ::sw, :] if (sh, sw) != (1, 1) else x
+            y = jnp.dot(
+                xs.astype(self.dtype),
+                kernel[0, 0].astype(self.dtype),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=self.strides,
+                padding=pad,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             if self.frozen:
                 bias = self.variable(

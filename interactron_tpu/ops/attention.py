@@ -80,7 +80,10 @@ def dot_product_attention(
 
     # Pallas fused kernel (supports in-kernel prob dropout): only worth it
     # when the attention area is large enough that the HBM logits buffer
-    # dominates (the fusion transformer's 2060-token problems).
+    # dominates (the fusion transformer's 2060-token problems). Routing the
+    # DETR-sized problems (d=32, S=361) through it was measured SLOWER
+    # (66.4 vs 69.6 eps/s predict): the d 32->64 pad doubles MXU work and
+    # XLA already fuses the small (361,361) softmax chain well.
     if (
         _USE_PALLAS
         and not _FLASH_SUPPRESSED

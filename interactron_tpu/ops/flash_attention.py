@@ -38,6 +38,12 @@ MIN_D = 64
 _NEG = -1e30
 
 
+def _block_q(t):
+    """Row-block size: 256 for the fusion-sized problems, 128 for the DETR
+    encoder/decoder (T<=512) where a 256 block would mostly be padding."""
+    return BLOCK_Q if t > 512 else 128
+
+
 def _mask_cols(logits, real):
     pad = logits.shape[-1]
     if pad != real:
@@ -122,7 +128,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
 
 
 def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_ref, *,
-                t_real, scale, rate, n_q_blocks):
+                t_real, scale, rate, n_q_blocks, bq):
     i = pl.program_id(0)
     jk = pl.program_id(1)
     k = k_ref[0]   # (BK, d)
@@ -134,16 +140,16 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_
     # loop over query blocks in q-major orientation (p is (BQ, BK), the same
     # layout as the forward's mask tile — no boolean transposes for Mosaic)
     for jq in range(n_q_blocks):
-        q = q_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]      # (BQ, d)
-        do = do_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]
-        L = l_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]      # (BQ, 1)
-        D = d_ref[0, pl.ds(jq * BLOCK_Q, BLOCK_Q), :]
+        q = q_ref[0, pl.ds(jq * bq, bq), :]                # (BQ, d)
+        do = do_ref[0, pl.ds(jq * bq, bq), :]
+        L = l_ref[0, pl.ds(jq * bq, bq), :]                # (BQ, 1)
+        D = d_ref[0, pl.ds(jq * bq, bq), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale                                          # (BQ, BK)
         # mask padded QUERY rows
-        q_low = jq * BLOCK_Q
-        if q_low + BLOCK_Q > t_real:
+        q_low = jq * bq
+        if q_low + bq > t_real:
             row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + q_low
             logits = jnp.where(row < t_real, logits, _NEG)
         p = jnp.exp(logits - L)                            # (BQ, BK)
@@ -151,7 +157,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_
                                  preferred_element_type=jnp.float32)  # (BQ, BK)
         if rate > 0.0:
             # regenerate exactly this (jq, jk) tile of the fwd mask
-            keep = _keep_mask(seed_ref[0], i, jq, jk, (BLOCK_Q, bk), rate)
+            keep = _keep_mask(seed_ref[0], i, jq, jk, (bq, bk), rate)
             p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
         else:
@@ -169,8 +175,8 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref, dv_
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
-def _pad_len(t):
-    return -(-t // BLOCK_Q) * BLOCK_Q
+def _pad_len(t, bq=BLOCK_Q):
+    return -(-t // bq) * bq
 
 
 def _pad_d(x):
@@ -194,15 +200,16 @@ def _fwd_impl(q, k, v, seed, rate):
     q, k, v = _pad_d(q), _pad_d(k), _pad_d(v)
     b, h, t, d = q.shape
     s = k.shape[2]
-    t_pad = _pad_len(t)
-    s_pad = _pad_len(s)
+    bq = _block_q(max(t, s))
+    t_pad = _pad_len(t, bq)
+    s_pad = _pad_len(s, bq)
     qf = _flatten_pad(q, t_pad)
     kf = _flatten_pad(k, s_pad)
     vf = _flatten_pad(v, s_pad)
-    grid = (b * h, t_pad // BLOCK_Q)
+    grid = (b * h, t_pad // bq)
     o, L = pl.pallas_call(
         functools.partial(_fwd_kernel, s_real=s, scale=scale, rate=rate,
-                          n_k_blocks=s_pad // BLOCK_Q),
+                          n_k_blocks=s_pad // bq),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, t_pad, 1), jnp.float32),
@@ -210,13 +217,13 @@ def _fwd_impl(q, k, v, seed, rate):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
     )(seed, qf, kf, vf)
     return o, L
@@ -242,37 +249,38 @@ def _flash_bwd(rate, res, g):
     scale = 1.0 / (d0 ** 0.5)
     q, k, v, g = _pad_d(q), _pad_d(k), _pad_d(v), _pad_d(g)
     d = q.shape[-1]
-    t_pad = _pad_len(t)
-    s_pad = _pad_len(s)
+    bq = _block_q(max(t, s))
+    t_pad = _pad_len(t, bq)
+    s_pad = _pad_len(s, bq)
     qf = _flatten_pad(q, t_pad)
     kf = _flatten_pad(k, s_pad)
     vf = _flatten_pad(v, s_pad)
     gf = _flatten_pad(g, t_pad)
     D = jnp.sum(gf.astype(jnp.float32) * o_pad.astype(jnp.float32), axis=-1)[..., None]
 
-    grid_q = (b * h, t_pad // BLOCK_Q)
+    grid_q = (b * h, t_pad // bq)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, s_real=s, scale=scale, rate=rate,
-                          n_k_blocks=s_pad // BLOCK_Q),
+                          n_k_blocks=s_pad // bq),
         out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
         grid=grid_q,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
     )(seed, qf, kf, vf, gf, L, D)
 
-    grid_k = (b * h, s_pad // BLOCK_Q)
+    grid_k = (b * h, s_pad // bq)
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, t_real=t, scale=scale, rate=rate,
-            n_q_blocks=t_pad // BLOCK_Q,
+            n_q_blocks=t_pad // bq, bq=bq,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
@@ -282,15 +290,15 @@ def _flash_bwd(rate, res, g):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t_pad, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_Q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ),
     )(seed, qf, kf, vf, gf, L, D)
 
