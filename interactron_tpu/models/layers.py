@@ -168,32 +168,29 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, *, key_padding_mask=None, deterministic=True):
-        from interactron_tpu.ops.attention import dot_product_attention
+        from interactron_tpu.ops.attention import packed_attention
 
         d = self.embed_dim
         h = self.num_heads
-        hd = d // h
         dense = lambda name: Dense(d, dtype=self.dtype, kernel_init=self.kernel_init, name=name)
 
-        def split(x):
-            b, t, _ = x.shape
-            return x.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
-
-        qh = split(dense("q_proj")(q))
-        kh = split(dense("k_proj")(k))
-        vh = split(dense("v_proj")(v))
+        # Projections stay in the packed (B, T, H*Dh) layout end to end: the
+        # attention core (Pallas lane-sliced head groups / bthd einsums)
+        # never needs the (B, H, T, Dh) transpose.
+        qh = dense("q_proj")(q)
+        kh = dense("k_proj")(k)
+        vh = dense("v_proj")(v)
         rng = self.make_rng("dropout") if (self.dropout_rate > 0 and not deterministic) else None
-        out = dot_product_attention(
+        out = packed_attention(
             qh,
             kh,
             vh,
+            h,
             key_padding_mask=key_padding_mask,
             dropout_rate=self.dropout_rate,
             deterministic=deterministic,
             dropout_rng=rng,
         )
-        b, _, t, _ = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return dense("out_proj")(out)
 
 

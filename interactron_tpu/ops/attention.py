@@ -50,6 +50,110 @@ def flash_disabled():
         _FLASH_SUPPRESSED = prev
 
 
+def packed_attention(
+    q,
+    k,
+    v,
+    num_heads,
+    *,
+    key_padding_mask=None,
+    dropout_rate=0.0,
+    deterministic=True,
+    dropout_rng=None,
+):
+    """Multi-head attention over PACKED head layout.
+
+    Args:
+      q: (B, T, H*Dh) — the raw q-projection output; no head transposes.
+      k, v: (B, S, H*Dh)
+      num_heads: H.
+
+    Every path here avoids the (B,H,T,D) layout entirely: the flash kernel
+    reads the packed arrays directly (lane-sliced head groups) and the XLA
+    paths contract via bthd einsums, which XLA folds into the GEMM layouts
+    instead of emitting physical transposes.
+    """
+    b, t, dim = q.shape
+    s = k.shape[1]
+    h = num_heads
+    hd = dim // h
+    in_dtype = q.dtype
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+
+    if (
+        _USE_PALLAS
+        and not _FLASH_SUPPRESSED
+        and key_padding_mask is None
+        and hd >= 64
+        and s >= 1024
+    ):
+        from interactron_tpu.ops.flash_attention import flash_attention_bthd
+
+        rate = 0.0 if deterministic else float(dropout_rate)
+        out = flash_attention_bthd(q, k, v, h, dropout_rate=rate,
+                                   dropout_rng=dropout_rng)
+        return out.astype(in_dtype)
+
+    qh = q.reshape(b, t, h, hd)
+    kh = k.reshape(b, s, h, hd)
+    vh = v.reshape(b, s, h, hd)
+
+    if _USE_CHUNKED and t * s >= 1024 * 1024 and key_padding_mask is None:
+        return _chunked_attention_bthd(
+            qh, kh, vh, scale,
+            dropout_rate=dropout_rate,
+            deterministic=deterministic,
+            dropout_rng=dropout_rng,
+        ).reshape(b, t, dim).astype(in_dtype)
+
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", qh, kh, preferred_element_type=jnp.float32
+    ) * scale
+    if key_padding_mask is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(in_dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, vh)
+    return out.reshape(b, t, dim)
+
+
+def _chunked_attention_bthd(q, k, v, scale, *, dropout_rate=0.0,
+                            deterministic=True, dropout_rng=None, block=None):
+    """Blockwise bthd attention via lax.scan with a rematerialized body:
+    peak memory O(block x S), differentiable to any order, no head
+    transposes (q/k/v and the output stay (B, T/S, H, Dh))."""
+    block = block if block is not None else _CHUNK_BLOCK
+    b, t, h, hd = q.shape
+    t_pad = -(-t // block) * block
+    qp = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))) if t_pad != t else q
+    qb = qp.reshape(b, t_pad // block, block, h, hd).transpose(1, 0, 2, 3, 4)
+    use_drop = dropout_rate > 0.0 and not deterministic and dropout_rng is not None
+    keys = jax.random.split(
+        dropout_rng if use_drop else jax.random.PRNGKey(0), t_pad // block
+    )
+
+    @jax.checkpoint
+    def body(carry, xs):
+        q_blk, key = xs  # (b, block, h, hd)
+        logits = jnp.einsum(
+            "bthd,bshd->bhts", q_blk, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1)
+        if use_drop:
+            keep = jax.random.bernoulli(key, 1.0 - dropout_rate, probs.shape)
+            probs = probs * keep / (1.0 - dropout_rate)
+        out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)
+        return carry, out
+
+    _, ob = jax.lax.scan(body, None, (qb, keys))
+    o = ob.transpose(1, 0, 2, 3, 4).reshape(b, t_pad, h, hd)
+    return o[:, :t]
+
+
 def dot_product_attention(
     q,
     k,
