@@ -91,18 +91,23 @@ class TransformerDecoderStack(nn.Module):
     ff_dim: int = 2048
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, tgt, memory, query_pos, pos, deterministic=True):
+        # remat=True: keep only layer-boundary activations for the backward
+        # pass (the twice-differentiated meta inner loop at INNER_BATCH=8
+        # otherwise materializes every layer's attention residuals at once)
+        Dec = nn.remat(DecoderLayer, static_argnums=(5,)) if self.remat else DecoderLayer
         for i in range(self.num_layers):
-            tgt = DecoderLayer(
+            tgt = Dec(
                 self.d_model,
                 self.num_heads,
                 self.ff_dim,
                 self.dropout_rate,
                 self.dtype,
                 name=f"layer{i}",
-            )(tgt, memory, query_pos, pos, deterministic=deterministic)
+            )(tgt, memory, query_pos, pos, deterministic)
         return LayerNorm(name="norm")(tgt)
 
 
@@ -163,6 +168,9 @@ class DETR(nn.Module):
     dropout_rate: float = 0.1
     backbone: str = "resnet50"  # "resnet50" | "tiny" (tests/CI)
     dtype: Any = jnp.float32
+    # rematerialize per layer/block in the backward pass (training memory
+    # knob — lets the second-order inner loop run at INNER_BATCH=8)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -196,7 +204,7 @@ class DETR(nn.Module):
                 images.astype(self.dtype), deterministic=deterministic
             )
         else:
-            bb = ResNet50DC5(dtype=self.dtype, name="backbone")
+            bb = ResNet50DC5(dtype=self.dtype, remat=self.remat, name="backbone")
             if stage == "frozen_prefix":
                 return bb(images.astype(self.dtype), stage="prefix")
             if stage == "from_prefix":
@@ -212,11 +220,12 @@ class DETR(nn.Module):
         )[None]
 
         memory = src
+        Enc = nn.remat(EncoderLayer, static_argnums=(3,)) if self.remat else EncoderLayer
         for i in range(self.num_encoder_layers):
-            memory = EncoderLayer(
+            memory = Enc(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate, self.dtype,
                 name=f"encoder_layer{i}",
-            )(memory, pos, deterministic=deterministic)
+            )(memory, pos, deterministic)
 
         query_embed = self.param(
             "query_embed", nn.initializers.normal(stddev=1.0), (self.num_queries, self.d_model)
@@ -232,6 +241,7 @@ class DETR(nn.Module):
             self.ff_dim,
             self.dropout_rate,
             self.dtype,
+            remat=self.remat,
             name="decoder",
         )(tgt, memory, query_pos, pos, deterministic=decoder_deterministic)
 

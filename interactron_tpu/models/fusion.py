@@ -134,6 +134,7 @@ class FusionGPT(nn.Module):
     attn_pdrop: float = 0.1
     resid_pdrop: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -158,15 +159,16 @@ class FusionGPT(nn.Module):
         )
         h = seq + pos[None, :t].astype(self.dtype)
         h = Dropout(self.embd_pdrop)(h, deterministic)
+        Blk = nn.remat(GPTBlock, static_argnums=(2,)) if self.remat else GPTBlock
         for i in range(self.num_layers):
-            h = GPTBlock(
+            h = Blk(
                 self.embed_dim,
                 self.num_heads,
                 self.attn_pdrop,
                 self.resid_pdrop,
                 self.dtype,
                 name=f"block{i}",
-            )(h, deterministic=deterministic)
+            )(h, deterministic)
         h = LayerNorm(name="ln_f")(h)
         y = Dense(
             self.output_size, use_bias=False, dtype=self.dtype, kernel_init=normal02, name="head"
@@ -187,6 +189,7 @@ class FusionXAttn(nn.Module):
     num_heads: int = 8
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -229,6 +232,7 @@ class FusionXAttn(nn.Module):
             2048,
             self.dropout_rate,
             self.dtype,
+            remat=self.remat,
             name="transformer",
         )(
             tgt,

@@ -61,6 +61,7 @@ class ResNet50DC5(nn.Module):
     """
 
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, stage="all"):
@@ -69,8 +70,11 @@ class ResNet50DC5(nn.Module):
         def layer(x, planes, blocks, stride, dilation, frozen, name):
             # torchvision _make_layer: first block carries stride+downsample
             # with the PREVIOUS dilation; later blocks use the new dilation.
+            # remat: keep only block boundaries for the backward pass (the
+            # frozen stage carries no grads, so remat there buys nothing)
+            Bot = nn.remat(Bottleneck) if (self.remat and not frozen) else Bottleneck
             first_dilation = 1
-            x = Bottleneck(
+            x = Bot(
                 planes,
                 stride=stride,
                 dilation=first_dilation,
@@ -80,7 +84,7 @@ class ResNet50DC5(nn.Module):
                 name=f"{name}_block0",
             )(x)
             for i in range(1, blocks):
-                x = Bottleneck(
+                x = Bot(
                     planes,
                     dilation=dilation,
                     frozen=frozen,

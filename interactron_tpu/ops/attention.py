@@ -98,7 +98,11 @@ def packed_attention(
     kh = k.reshape(b, s, h, hd)
     vh = v.reshape(b, s, h, hd)
 
-    if _USE_CHUNKED and t * s >= 1024 * 1024 and key_padding_mask is None:
+    # gate on TOTAL logits elements: catches both the fusion transformer
+    # (8*2060^2 per head-batch) and the DETR encoder (5*8*361^2 per episode
+    # — the meta step vmaps episodes, so the traced batch here is 5 frames),
+    # while leaving small problems (decoder self/cross) materialized
+    if _USE_CHUNKED and b * h * t * s >= 4 * 1024 * 1024 and key_padding_mask is None:
         return _chunked_attention_bthd(
             qh, kh, vh, scale,
             dropout_rate=dropout_rate,
@@ -123,22 +127,27 @@ def packed_attention(
 
 def _chunked_attention_bthd(q, k, v, scale, *, dropout_rate=0.0,
                             deterministic=True, dropout_rng=None, block=None):
-    """Blockwise bthd attention via lax.scan with a rematerialized body:
-    peak memory O(block x S), differentiable to any order, no head
-    transposes (q/k/v and the output stay (B, T/S, H, Dh))."""
+    """Blockwise bthd attention: an UNROLLED loop of per-q-block
+    jax.checkpoint regions, so the (T, S) probability tensor never
+    materializes — at ANY differentiation order. (A lax.scan formulation
+    fails the second derivative: the scan transpose stacks the reverse
+    body's recomputed probs across steps, resurrecting the full (T, S)
+    buffer — measured 3x1.13 GB inside the meta inner loop. jax.checkpoint
+    regions compose under repeated differentiation: each level re-derives
+    the block from its inputs.) No head transposes: q/k/v and the output
+    stay (B, T/S, H, Dh)."""
     block = block if block is not None else _CHUNK_BLOCK
     b, t, h, hd = q.shape
     t_pad = -(-t // block) * block
     qp = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))) if t_pad != t else q
-    qb = qp.reshape(b, t_pad // block, block, h, hd).transpose(1, 0, 2, 3, 4)
+    n_blocks = t_pad // block
     use_drop = dropout_rate > 0.0 and not deterministic and dropout_rng is not None
     keys = jax.random.split(
-        dropout_rng if use_drop else jax.random.PRNGKey(0), t_pad // block
+        dropout_rng if use_drop else jax.random.PRNGKey(0), n_blocks
     )
 
     @jax.checkpoint
-    def body(carry, xs):
-        q_blk, key = xs  # (b, block, h, hd)
+    def one_block(q_blk, k, v, key):
         logits = jnp.einsum(
             "bthd,bshd->bhts", q_blk, k, preferred_element_type=jnp.float32
         ) * scale
@@ -146,11 +155,13 @@ def _chunked_attention_bthd(q, k, v, scale, *, dropout_rate=0.0,
         if use_drop:
             keep = jax.random.bernoulli(key, 1.0 - dropout_rate, probs.shape)
             probs = probs * keep / (1.0 - dropout_rate)
-        out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)
-        return carry, out
+        return jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)
 
-    _, ob = jax.lax.scan(body, None, (qb, keys))
-    o = ob.transpose(1, 0, 2, 3, 4).reshape(b, t_pad, h, hd)
+    outs = [
+        one_block(qp[:, i * block : (i + 1) * block], k, v, keys[i])
+        for i in range(n_blocks)
+    ]
+    o = outs[0] if n_blocks == 1 else jnp.concatenate(outs, axis=1)
     return o[:, :t]
 
 

@@ -61,6 +61,18 @@ class TaskModel:
         )
         self.max_boxes = min(C.MAX_BOXES, self.detector.num_queries)
         self.fusion = build_fusion(config, dtype=self.dtype) if self.needs_fusion else None
+        # remat clones share the exact param structure; the train paths use
+        # them so per-layer activations are recomputed in the backward pass.
+        # TRAINER.REMAT is a MEMORY knob (off by default): with
+        # MODEL.CHUNKED_ATTENTION it fits INNER_BATCH=8 on a 16G chip, but
+        # the recompute under the twice-differentiated inner loop costs ~2.7x
+        # step time (measured 5.7 vs 15.3 eps/s) — INNER_BATCH=4 without
+        # remat is the throughput configuration.
+        self.use_remat = (
+            bool(config.TRAINER.get("REMAT", False)) if hasattr(config, "TRAINER") else False
+        )
+        self.detector_remat = self.detector.clone(remat=True)
+        self.fusion_remat = self.fusion.clone(remat=True) if self.fusion is not None else None
         self.cost_class = float(m.get("SET_COST_CLASS", 1.0))
         self.cost_bbox = float(m.get("SET_COST_BBOX", 5.0))
         self.cost_giou = float(m.get("SET_COST_GIOU", 2.0))
@@ -121,10 +133,11 @@ class TaskModel:
     # ------------------------------------------------------------- module fns
 
     def detr_apply(self, det_params, frozen, images, *, deterministic=True,
-                   decoder_deterministic=None, rng=None, stage="all"):
+                   decoder_deterministic=None, rng=None, stage="all", remat=False):
         variables = {"params": det_params, "frozen": frozen["detector"]}
         rngs = None if deterministic and (decoder_deterministic in (None, True)) else {"dropout": rng}
-        return self.detector.apply(
+        module = self.detector_remat if (remat and self.use_remat) else self.detector
+        return module.apply(
             variables,
             images,
             deterministic=deterministic,
@@ -140,7 +153,8 @@ class TaskModel:
             {"params": {}, "frozen": frozen["detector"]}, images, stage="frozen_prefix"
         )
 
-    def fusion_apply(self, fus_params, detr_out, *, deterministic=True, rng=None):
+    def fusion_apply(self, fus_params, detr_out, *, deterministic=True, rng=None,
+                     remat=False):
         """detr_out: per-frame outputs (s, ...) -> fusion with batch dim 1."""
         x = {
             "embedded_memory_features": detr_out["embedded_memory_features"][None],
@@ -149,7 +163,8 @@ class TaskModel:
             "pred_boxes": detr_out["pred_boxes"][None],
         }
         rngs = None if deterministic else {"dropout": rng}
-        return self.fusion.apply({"params": fus_params}, x, deterministic=deterministic, rngs=rngs)
+        module = self.fusion_remat if (remat and self.use_remat) else self.fusion
+        return module.apply({"params": fus_params}, x, deterministic=deterministic, rngs=rngs)
 
     def criterion(self, outputs, targets, **kw):
         kw.setdefault("num_classes", self.num_classes)

@@ -107,9 +107,12 @@ class InteractronRandomTask(TaskModel):
             dp = merge_inner(a, static_c)
             with flash_disabled() if train else _nullcontext():
                 out = self.detr_apply(
-                    dp, frozen, prefix, deterministic=not train, rng=k1, stage="from_prefix"
+                    dp, frozen, prefix, deterministic=not train, rng=k1,
+                    stage="from_prefix", remat=train,
                 )
-                fus = self.fusion_apply(fus_p, out, deterministic=not train, rng=k2)
+                fus = self.fusion_apply(
+                    fus_p, out, deterministic=not train, rng=k2, remat=train
+                )
             return learned_loss_value(fus), fus
 
         (_, fus_out), g = jax.value_and_grad(inner, has_aux=True)(adapted_base)
@@ -119,7 +122,8 @@ class InteractronRandomTask(TaskModel):
             clipped_sgd_step(adapted_base, g, self.adaptive_lr), static_c
         )
         post = self.detr_apply(
-            fast2, frozen, prefix, deterministic=not train, rng=k3, stage="from_prefix"
+            fast2, frozen, prefix, deterministic=not train, rng=k3,
+            stage="from_prefix", remat=train,
         )
         targets = {"labels": ep["labels"], "boxes": ep["boxes"], "valid": ep["valid"]}
         sup_losses = self.criterion(
@@ -149,7 +153,8 @@ class InteractronRandomTask(TaskModel):
             k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
         }
         det_out = self.detr_apply(
-            fast1, frozen, fr, deterministic=not train, rng=k4, stage="from_prefix"
+            fast1, frozen, fr, deterministic=not train, rng=k4,
+            stage="from_prefix", remat=train,
         )
         det_losses = self.criterion(
             {"pred_logits": det_out["pred_logits"], "pred_boxes": det_out["pred_boxes"]}, tgt_r
