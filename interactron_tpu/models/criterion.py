@@ -70,6 +70,7 @@ def set_criterion(
     cost_giou=2.0,
     match_outputs: Optional[dict] = None,
     num_boxes: Optional[jnp.ndarray] = None,
+    per_frame: bool = False,
 ):
     """Compute all losses. `outputs`/`targets` as above; frames are stacked
     along B (the reference passes a whole episode's frames in one call, so
@@ -135,13 +136,27 @@ def set_criterion(
         1.0 - jnp.sum(correct.astype(jnp.float32)) / jnp.maximum(jnp.sum(vf), 1.0)
     )
 
-    return {
+    out = {
         "loss_ce": loss_ce,
         "loss_bbox": loss_bbox,
         "loss_giou": loss_giou,
         "cardinality_error": cardinality_error,
         "class_error": class_error,
     }
+    if per_frame:
+        # Per-frame reductions: frame f's values equal a separate criterion
+        # call on that frame alone (ce re-normalizes by the frame's own
+        # weight mass, boxes by the frame's own num_boxes), reusing the SAME
+        # assignment — lets callers read e.g. the frame-0 ground-truth loss
+        # without a second Hungarian solve (interactron.py:106-110).
+        out["_per_frame"] = {
+            "ce_num": jnp.sum(w * nll, axis=1),
+            "ce_den": jnp.sum(w, axis=1),
+            "bbox_sum": jnp.sum(l1 * vf, axis=1),
+            "giou_sum": jnp.sum((1.0 - giou_el) * vf, axis=1),
+            "num_boxes": jnp.sum(vf, axis=1),
+        }
+    return out
 
 
 def _elementwise_giou(b1, b2, eps=1e-8):

@@ -82,17 +82,25 @@ def packed_attention(
 
     if (
         _USE_PALLAS
-        and not _FLASH_SUPPRESSED
         and key_padding_mask is None
         and hd >= 64
         and s >= 1024
     ):
-        from interactron_tpu.ops.flash_attention import flash_attention_bthd
+        if not _FLASH_SUPPRESSED:
+            from interactron_tpu.ops.flash_attention import flash_attention_bthd
 
-        rate = 0.0 if deterministic else float(dropout_rate)
-        out = flash_attention_bthd(q, k, v, h, dropout_rate=rate,
-                                   dropout_rng=dropout_rng)
-        return out.astype(in_dtype)
+            rate = 0.0 if deterministic else float(dropout_rate)
+            return flash_attention_bthd(
+                q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
+            ).astype(in_dtype)
+        # Twice-differentiated context (the meta inner loss): fall through.
+        # The materializing XLA einsum path below is the fastest measured
+        # option at INNER_BATCH=4 (the hybrid flash_attention_2nd_bthd —
+        # Pallas fwd + blockwise differentiable bwd — is correct to any
+        # order but its per-block dropout-mask regeneration kernels are
+        # opaque to XLA's scheduler, which keeps every (bq, S) mask live at
+        # once: +5 GB at INNER_BATCH=8). With MODEL.CHUNKED_ATTENTION the
+        # jnp chunked path below bounds memory instead.
 
     qh = q.reshape(b, t, h, hd)
     kh = k.reshape(b, s, h, hd)

@@ -111,7 +111,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, s_real, scale,
         p = p / denom
         if rate > 0.0:
             bk = p.shape[1] // n_k_blocks
-            keep = _keep_mask_row(seed_ref[0], i * g_sz + g, j, n_k_blocks,
+            keep = _keep_mask_row(seed_ref[0, 0], i * g_sz + g, j, n_k_blocks,
                                   bk, p.shape[0], rate)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
         outs.append(jax.lax.dot_general(
@@ -146,7 +146,7 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
             bk = p.shape[1] // n_k_blocks
-            keep = _keep_mask_row(seed_ref[0], i * g_sz + g, j, n_k_blocks,
+            keep = _keep_mask_row(seed_ref[0, 0], i * g_sz + g, j, n_k_blocks,
                                   bk, p.shape[0], rate)
             dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
         ds = (p * (dp - D)).astype(k.dtype)
@@ -194,7 +194,7 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref,
                                      preferred_element_type=jnp.float32)
             if rate > 0.0:
                 # regenerate exactly this (jq, jk) tile of the fwd mask
-                keep = _keep_mask(seed_ref[0], i * g_sz + g, jq, jk, (bq, bk), rate)
+                keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jq, jk, (bq, bk), rate)
                 p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
                 dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
             else:
@@ -370,10 +370,13 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _seed_rate(dropout_rate, dropout_rng):
+    # (1, 1) so that a vmapped (per-episode) seed batches to (B, 1, 1) —
+    # the Mosaic block-mapping check requires the last two dims of a
+    # batched SMEM operand to equal the array dims
     if dropout_rate > 0.0 and dropout_rng is not None:
-        seed = jax.random.randint(dropout_rng, (1,), 0, 2**31 - 1, jnp.int32)
+        seed = jax.random.randint(dropout_rng, (1, 1), 0, 2**31 - 1, jnp.int32)
         return seed, float(dropout_rate)
-    return jnp.zeros((1,), jnp.int32), 0.0
+    return jnp.zeros((1, 1), jnp.int32), 0.0
 
 
 def flash_attention_bthd(q, k, v, num_heads, dropout_rate=0.0, dropout_rng=None):
@@ -395,3 +398,148 @@ def flash_attention(q, k, v, dropout_rate=0.0, dropout_rng=None):
     pack = lambda x: x.transpose(0, 2, 1, 3).reshape(b, x.shape[2], h * d)
     o = flash_attention_bthd(pack(q), pack(k), pack(v), h, dropout_rate, dropout_rng)
     return o.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+
+
+# --------------------------------------------------------------------------
+# Second-order-capable hybrid: Pallas forward, differentiable blockwise
+# backward.
+#
+# The pure-kernel path above is first-order only — its backward is made of
+# Pallas kernels with no AD rules, so code that is differentiated TWICE (the
+# meta inner loss: the supervisor backprops through the detector's gradient,
+# interactron.py:99-123) cannot trace it. Reverse-over-reverse through
+# jax.custom_vjp works fine, however, when the registered bwd is built from
+# differentiable ops. This variant therefore runs the SAME Pallas forward
+# (fast, no (T,S) materialization) and registers a bwd of per-q-block
+# jax.checkpoint'd jnp regions: the outer differentiation re-derives each
+# block from its inputs, so the (T,S) probability tensor never materializes
+# at any order. Dropout keep-masks are regenerated by an AD-free Pallas
+# helper kernel with the forward's exact counter scheme (a constant function
+# of the seed — it carries no tangents, so it is invisible to the outer AD).
+# --------------------------------------------------------------------------
+
+
+def _mask_row_kernel(seed_ref, o_ref, *, ih0_stride, jq, n_k_blocks, bk, rate):
+    i = pl.program_id(0)  # flattened (b*h) index -> matches fwd's i*g_sz+g
+    keep = _keep_mask_row(seed_ref[0, 0], i, jq, n_k_blocks, bk, o_ref.shape[1], rate)
+    o_ref[0] = keep.astype(jnp.float32)
+
+
+def _dropout_mask_row(seed, bh, jq, bq, n_k_blocks, bk, rate):
+    """(bh, bq, n_k_blocks*bk) keep mask for q-block jq, regenerated with the
+    forward kernel's counter scheme (head index = grid dim 0)."""
+    return pl.pallas_call(
+        functools.partial(_mask_row_kernel, ih0_stride=0, jq=jq,
+                          n_k_blocks=n_k_blocks, bk=bk, rate=rate),
+        out_shape=jax.ShapeDtypeStruct((bh, bq, n_k_blocks * bk), jnp.float32),
+        grid=(bh,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, bq, n_k_blocks * bk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(seed)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash2(q, k, v, seed, rate, h):
+    o, _ = _fwd_impl(q, k, v, seed, rate, h)
+    return o[:, : q.shape[1]]
+
+
+def _flash2_fwd(q, k, v, seed, rate, h):
+    # NOTE: must call the custom-vjp-wrapped function itself (not _fwd_impl)
+    # so nested differentiation re-enters this rule instead of trying to
+    # linearize the Pallas call ("Linearization failed to produce known
+    # values" otherwise). Residuals: inputs + the OUTPUT (for the
+    # D = rowsum(dO*O) identity) — no extra kernel state.
+    out = _flash2(q, k, v, seed, rate, h)
+    return out, (q, k, v, seed, out)
+
+
+def _flash2_bwd(rate, h, res, g):
+    q, k, v, seed, out = res
+    b, t, dim = q.shape
+    s = k.shape[1]
+    hd = dim // h
+    scale = 1.0 / (hd ** 0.5)
+    bq = _block_q(max(t, s))
+    t_pad = _pad_len(t, bq)
+    s_pad = _pad_len(s, bq)
+    n_k_blocks = s_pad // bq
+
+    # head-major views (einsum layout folding — no physical transposes).
+    # Zero-padded g/o rows self-nullify their dk/dv contributions
+    # (dp = 0, D = 0 => ds = 0), so no row masking is needed.
+    qh = _pad_t(q, t_pad).reshape(b, t_pad, h, hd)
+    kh = k.reshape(b, s, h, hd)
+    vh = v.reshape(b, s, h, hd)
+    gh = _pad_t(g, t_pad).reshape(b, t_pad, h, hd)
+    oh = _pad_t(out, t_pad).reshape(b, t_pad, h, hd)
+
+    def make_block(jq):
+        @jax.checkpoint
+        def one_block(q_b, g_b, o_b, kh, vh, seed):
+            # q_b/g_b/o_b: (b, bq, h, hd). Each block sees FULL rows, so the
+            # softmax row stats are local — no saved normalizer needed.
+            logits = jnp.einsum(
+                "bthd,bshd->bhts", q_b, kh, preferred_element_type=jnp.float32
+            ) * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)         # (b, h, bq, s)
+            dp = jnp.einsum("bthd,bshd->bhts", g_b, vh,
+                            preferred_element_type=jnp.float32)
+            if rate > 0.0:
+                # regenerated inside the region: recomputed (never stored)
+                # at every differentiation level; AD-constant, so invisible
+                # to the outer differentiation
+                keep = _dropout_mask_row(seed, b * h, jq, bq, n_k_blocks, bq, rate)
+                keep = keep.reshape(b, h, bq, s_pad)[..., :s]
+                inv = 1.0 / (1.0 - rate)
+                p_drop = p * keep * inv
+                dp = dp * keep * inv
+            else:
+                p_drop = p
+            D = jnp.sum(g_b.astype(jnp.float32) * o_b.astype(jnp.float32),
+                        axis=-1)                               # (b, bq, h)
+            ds = p * (dp - D.transpose(0, 2, 1)[..., None])
+            dq_b = jnp.einsum("bhts,bshd->bthd", ds.astype(kh.dtype), kh,
+                              preferred_element_type=jnp.float32) * scale
+            dk_b = jnp.einsum("bhts,bthd->bshd", ds.astype(q_b.dtype), q_b,
+                              preferred_element_type=jnp.float32) * scale
+            dv_b = jnp.einsum("bhts,bthd->bshd", p_drop.astype(g_b.dtype), g_b,
+                              preferred_element_type=jnp.float32)
+            return dq_b, dk_b, dv_b
+
+        return one_block
+
+    dq_blocks = []
+    dk = jnp.zeros(kh.shape, jnp.float32)
+    dv = jnp.zeros(vh.shape, jnp.float32)
+    for jq in range(t_pad // bq):
+        sl = slice(jq * bq, (jq + 1) * bq)
+        dq_b, dk_b, dv_b = make_block(jq)(
+            qh[:, sl], gh[:, sl], oh[:, sl], kh, vh, seed
+        )
+        dq_blocks.append(dq_b)
+        dk = dk + dk_b
+        dv = dv + dv_b
+
+    dq = jnp.concatenate(dq_blocks, axis=1) if len(dq_blocks) > 1 else dq_blocks[0]
+    return (
+        dq[:, :t].reshape(b, t, dim).astype(q.dtype),
+        dk.reshape(b, s, dim).astype(k.dtype),
+        dv.reshape(b, s, dim).astype(v.dtype),
+        None,
+    )
+
+
+_flash2.defvjp(_flash2_fwd, _flash2_bwd)
+
+
+def flash_attention_2nd_bthd(q, k, v, num_heads, dropout_rate=0.0,
+                             dropout_rng=None):
+    """Packed-head fused attention usable under REPEATED differentiation:
+    Pallas forward, blockwise differentiable backward. Same signature and
+    semantics as flash_attention_bthd."""
+    seed, rate = _seed_rate(dropout_rate, dropout_rng)
+    return _flash2(q, k, v, seed, rate, num_heads)

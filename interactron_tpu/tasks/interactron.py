@@ -127,18 +127,24 @@ class InteractronRandomTask(TaskModel):
         )
         targets = {"labels": ep["labels"], "boxes": ep["boxes"], "valid": ep["valid"]}
         sup_losses = self.criterion(
-            {"pred_logits": post["pred_logits"], "pred_boxes": post["pred_boxes"]}, targets
+            {"pred_logits": post["pred_logits"], "pred_boxes": post["pred_boxes"]},
+            targets,
+            per_frame=True,
         )
+        pf = sup_losses.pop("_per_frame")
         sup_loss = _weighted(sup_losses)
 
         # frame-0 ground-truth loss of the adapted detector = policy reward
-        f0_out = {
-            "pred_logits": post["pred_logits"][0:1],
-            "pred_boxes": post["pred_boxes"][0:1],
-        }
-        f0_tgt = {k: v[0:1] for k, v in targets.items()}
-        gt_losses = self.criterion(f0_out, f0_tgt)
-        reward = jax.lax.stop_gradient(_weighted(gt_losses))
+        # (interactron.py:106-110). Reuses the supervisor pass's frame-0
+        # criterion pieces — bit-identical to a separate criterion call on
+        # post[0:1] (same outputs, same targets, same assignment) without a
+        # second Hungarian solve.
+        nb0 = jnp.maximum(pf["num_boxes"][0], 1.0)
+        reward = jax.lax.stop_gradient(
+            pf["ce_num"][0] / pf["ce_den"][0]
+            + 5.0 * (pf["giou_sum"][0] / nb0)
+            + 2.0 * (pf["bbox_sum"][0] / nb0)
+        )
 
         # ---- detector (first-order) path
         fast1 = merge_inner(

@@ -92,3 +92,45 @@ def test_flash_attention_dropout_semantics():
             dq = jnp.zeros_like(q).at[idx].set(eps)
             fd = (loss(q + dq) - loss(q - dq)) / (2 * eps)
             np.testing.assert_allclose(float(g[idx]), float(fd), rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("t,s", [(200, 200), (130, 260)])
+def test_flash2_second_order_matches_reference(t, s):
+    """The hybrid (Pallas fwd + blockwise differentiable bwd) must agree
+    with plain attention at first AND second order — it serves the
+    twice-differentiated meta inner loss (interactron.py:99-123)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interactron_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(5)
+    b, h, d = 1, 2, 64
+    q = _rand(rng, b, t, h * d)
+    k = _rand(rng, b, s, h * d)
+    v = _rand(rng, b, s, h * d)
+    w = _rand(rng, b, t, h * d)
+
+    def plain(q, k, v):
+        qh = q.reshape(b, t, h, d)
+        kh = k.reshape(b, s, h, d)
+        vh = v.reshape(b, s, h, d)
+        logits = jnp.einsum("bthd,bshd->bhts", qh, kh) / np.sqrt(d)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", p, vh).reshape(b, t, h * d)
+
+    def outer(fn):
+        def f(k):
+            g = jax.grad(lambda q: jnp.sum(fn(q, k, v) * w))(q)
+            return jnp.sum(g * (w + 0.3))
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fa.flash_attention_2nd_bthd(q, k, v, h)
+        g1 = jax.grad(lambda q: jnp.sum(fa.flash_attention_2nd_bthd(q, k, v, h) * w))(q)
+        gg1 = jax.grad(outer(lambda q, k, v: fa.flash_attention_2nd_bthd(q, k, v, h)))(k)
+    o2 = plain(q, k, v)
+    g2 = jax.grad(lambda q: jnp.sum(plain(q, k, v) * w))(q)
+    gg2 = jax.grad(outer(plain))(k)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), atol=3e-3, rtol=1e-2)

@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--flash", action="store_true", default=True)
     ap.add_argument("--chunked", action="store_true")
     ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--config", default="configs/interactron.yaml")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
@@ -38,7 +39,7 @@ def main():
     import optax
 
     set_flash_attention(args.flash)
-    cfg = get_config("configs/interactron.yaml")
+    cfg = get_config(args.config)
     cfg.TRAINER.INNER_BATCH = args.inner
     task = InteractronTask(cfg)
     task.inner_batch = args.inner
