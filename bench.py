@@ -32,6 +32,7 @@ import os
 REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
+CONFIG = os.environ.get("BENCH_CONFIG", "configs/interactron.yaml")
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
 
 
@@ -42,7 +43,7 @@ def build(flash):
     from __graft_entry__ import _episode_batch
 
     set_flash_attention(flash)
-    cfg = get_config("configs/interactron.yaml")
+    cfg = get_config(CONFIG)
     task = InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
 
