@@ -31,7 +31,7 @@ import os
 
 REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
-BATCH = int(os.environ.get("BENCH_BATCH", 16))
+BATCH = int(os.environ.get("BENCH_BATCH", 4))
 CONFIG = os.environ.get("BENCH_CONFIG", "configs/interactron.yaml")
 ITERS = int(os.environ.get("BENCH_ITERS", 8))
 

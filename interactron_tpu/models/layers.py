@@ -156,6 +156,20 @@ class MLP(nn.Module):
         return Dense(self.out_dim, dtype=self.dtype, name=f"layer{self.num_layers - 1}")(x)
 
 
+class _ProjParams(nn.Module):
+    """Parameter holder matching Dense's tree ({kernel, bias}) so MHA can
+    merge aliased projections into one GEMM without changing checkpoints."""
+
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, in_features):
+        kernel = self.param("kernel", self.kernel_init, (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Torch-style MHA: separate q/k/v/out projections with bias, softmax in
     fp32, optional key padding mask and attention dropout."""
@@ -172,14 +186,30 @@ class MultiHeadAttention(nn.Module):
 
         d = self.embed_dim
         h = self.num_heads
-        dense = lambda name: Dense(d, dtype=self.dtype, kernel_init=self.kernel_init, name=name)
 
-        # Projections stay in the packed (B, T, H*Dh) layout end to end: the
-        # attention core (Pallas lane-sliced head groups / bthd einsums)
-        # never needs the (B, H, T, Dh) transpose.
-        qh = dense("q_proj")(q)
-        kh = dense("k_proj")(k)
-        vh = dense("v_proj")(v)
+        # Params stay under the torch-layout names (q_proj/k_proj/v_proj,
+        # kernel+bias each) but the GEMMs merge when inputs alias: the GPT
+        # fusion passes one tensor for q/k/v (3 projections -> 1 GEMM) and
+        # the DETR layers share q = k (+pos). Column blocks of the merged
+        # product are bitwise the separate products.
+        wq, bq_ = _ProjParams(d, self.kernel_init, name="q_proj")(q.shape[-1])
+        wk, bk_ = _ProjParams(d, self.kernel_init, name="k_proj")(k.shape[-1])
+        wv, bv_ = _ProjParams(d, self.kernel_init, name="v_proj")(v.shape[-1])
+        dt = self.dtype
+        lin = lambda x, w, b: jnp.dot(x.astype(dt), w.astype(dt)) + b.astype(dt)
+        if q is k and k is v:
+            qkv = lin(q, jnp.concatenate([wq, wk, wv], axis=1),
+                      jnp.concatenate([bq_, bk_, bv_]))
+            qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+        elif q is k:
+            qk = lin(q, jnp.concatenate([wq, wk], axis=1),
+                     jnp.concatenate([bq_, bk_]))
+            qh, kh = jnp.split(qk, 2, axis=-1)
+            vh = lin(v, wv, bv_)
+        else:
+            qh = lin(q, wq, bq_)
+            kh = lin(k, wk, bk_)
+            vh = lin(v, wv, bv_)
         rng = self.make_rng("dropout") if (self.dropout_rate > 0 and not deterministic) else None
         out = packed_attention(
             qh,
@@ -191,7 +221,7 @@ class MultiHeadAttention(nn.Module):
             deterministic=deterministic,
             dropout_rng=rng,
         )
-        return dense("out_proj")(out)
+        return Dense(d, dtype=self.dtype, kernel_init=self.kernel_init, name="out_proj")(out)
 
 
 class Dropout(nn.Module):

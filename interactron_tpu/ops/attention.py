@@ -80,6 +80,10 @@ def packed_attention(
     in_dtype = q.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
+    # Gate: fusion-sized problems only (S=2060, hd=64). The DETR-sized
+    # attention (S=361, hd=32) measured slower through the kernel even in
+    # the packed unpadded layout (81.1 vs 83.1 eps/s predict): at 361
+    # tokens the XLA-fused einsum chain wins on pipeline depth.
     if (
         _USE_PALLAS
         and key_padding_mask is None
