@@ -33,7 +33,7 @@ REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 CONFIG = os.environ.get("BENCH_CONFIG", "configs/interactron.yaml")
-ITERS = int(os.environ.get("BENCH_ITERS", 8))
+ITERS = int(os.environ.get("BENCH_ITERS", 24))
 
 
 def build(flash):
