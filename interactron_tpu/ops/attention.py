@@ -19,6 +19,10 @@ _USE_PALLAS = False
 _FLASH_SUPPRESSED = False
 _USE_CHUNKED = False
 _CHUNK_BLOCK = 256
+# dispatch thresholds (module-level so tests can lower them to exercise the
+# kernel paths on tiny shapes)
+_FLASH_MIN_HD = 64
+_FLASH_MIN_S = 1024
 
 
 def set_flash_attention(enabled: bool):
@@ -87,24 +91,28 @@ def packed_attention(
     if (
         _USE_PALLAS
         and key_padding_mask is None
-        and hd >= 64
-        and s >= 1024
+        and hd >= _FLASH_MIN_HD
+        and s >= _FLASH_MIN_S
     ):
+        rate = 0.0 if deterministic else float(dropout_rate)
         if not _FLASH_SUPPRESSED:
             from interactron_tpu.ops.flash_attention import flash_attention_bthd
 
-            rate = 0.0 if deterministic else float(dropout_rate)
             return flash_attention_bthd(
                 q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
             ).astype(in_dtype)
-        # Twice-differentiated context (the meta inner loss): fall through.
-        # The materializing XLA einsum path below is the fastest measured
-        # option at INNER_BATCH=4 (the hybrid flash_attention_2nd_bthd —
-        # Pallas fwd + blockwise differentiable bwd — is correct to any
-        # order but its per-block dropout-mask regeneration kernels are
-        # opaque to XLA's scheduler, which keeps every (bq, S) mask live at
-        # once: +5 GB at INNER_BATCH=8). With MODEL.CHUNKED_ATTENTION the
-        # jnp chunked path below bounds memory instead.
+        # Twice-differentiated context (the meta inner loss): explicit
+        # second-order kernels — the backward is a custom-vjp function whose
+        # own VJP is two Pallas kernels, so forward, first-order backward
+        # AND the second-order backward all run fused with no (T, S) HBM
+        # tensors. (The differentiable-bwd hybrid and the jnp chunked path
+        # remain as fallbacks; the materializing XLA path was the previous
+        # default at 898 ms/step.)
+        from interactron_tpu.ops.flash_attention import flash_attention_so_bthd
+
+        return flash_attention_so_bthd(
+            q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
+        ).astype(in_dtype)
 
     qh = q.reshape(b, t, h, hd)
     kh = k.reshape(b, s, h, hd)

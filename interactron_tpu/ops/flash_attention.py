@@ -227,7 +227,7 @@ def _pad_t(x, t_pad):
     return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
 
 
-def _fwd_impl(q, k, v, seed, rate, h):
+def _fwd_impl(q, k, v, seed, rate, h, bq=None):
     b, t, dim = q.shape
     s = k.shape[1]
     hd = dim // h
@@ -235,7 +235,7 @@ def _fwd_impl(q, k, v, seed, rate, h):
     g_sz = _group(h, hd)
     ng = h // g_sz
     lanes = g_sz * hd
-    bq = _block_q(max(t, s))
+    bq = bq if bq is not None else _block_q(max(t, s))
     t_pad = _pad_len(t, bq)
     s_pad = _pad_len(s, bq)
     qf = _pad_t(q, t_pad)
@@ -280,8 +280,24 @@ def _flash_fwd(q, k, v, seed, rate, h):
     return o[:, : q.shape[1]], (q, k, v, seed, o, L)
 
 
+def _make_D(gf, o_pad, b, t_pad, h, hd, ng, g_sz):
+    """D = rowsum(dO * O) per head: (b, t_pad, h) -> (b*ng, g_sz, t_pad, 1)."""
+    d_bth = jnp.sum(
+        gf.astype(jnp.float32).reshape(b, t_pad, h, hd)
+        * o_pad.astype(jnp.float32).reshape(b, t_pad, h, hd),
+        axis=-1,
+    )
+    return d_bth.transpose(0, 2, 1).reshape(b * ng, g_sz, t_pad, 1)
+
+
 def _flash_bwd(rate, h, res, g):
     q, k, v, seed, o_pad, L = res
+    dq, dk, dv = _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h,
+                              _block_q(max(q.shape[1], k.shape[1])))
+    return dq, dk, dv, None
+
+
+def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
     b, t, dim = q.shape
     s = k.shape[1]
     hd = dim // h
@@ -289,20 +305,13 @@ def _flash_bwd(rate, h, res, g):
     g_sz = _group(h, hd)
     ng = h // g_sz
     lanes = g_sz * hd
-    bq = _block_q(max(t, s))
     t_pad = _pad_len(t, bq)
     s_pad = _pad_len(s, bq)
     qf = _pad_t(q, t_pad)
     kf = _pad_t(k, s_pad)
     vf = _pad_t(v, s_pad)
     gf = _pad_t(g, t_pad)
-    # D = rowsum(dO * O) per head: (b, t_pad, h) -> (b*ng, g_sz, t_pad, 1)
-    d_bth = jnp.sum(
-        gf.astype(jnp.float32).reshape(b, t_pad, h, hd)
-        * o_pad.astype(jnp.float32).reshape(b, t_pad, h, hd),
-        axis=-1,
-    )
-    D = d_bth.transpose(0, 2, 1).reshape(b * ng, g_sz, t_pad, 1)
+    D = _make_D(gf, o_pad, b, t_pad, h, hd, ng, g_sz)
 
     grid_q = (b * ng, t_pad // bq)
     dq = pl.pallas_call(
@@ -363,7 +372,7 @@ def _flash_bwd(rate, h, res, g):
         ),
     )(seed, qf, kf, vf, gf, L, D)
 
-    return dq[:, :t], dk[:, :s], dv[:, :s], None
+    return dq[:, :t], dk[:, :s], dv[:, :s]
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -543,3 +552,328 @@ def flash_attention_2nd_bthd(q, k, v, num_heads, dropout_rate=0.0,
     semantics as flash_attention_bthd."""
     seed, rate = _seed_rate(dropout_rate, dropout_rng)
     return _flash2(q, k, v, seed, rate, num_heads)
+
+
+# --------------------------------------------------------------------------
+# Explicit second-order kernels: the attention BACKWARD as a custom-vjp
+# function whose own VJP is two Pallas kernels.
+#
+# Reverse-over-reverse (the meta inner loss, interactron.py:99-123)
+# differentiates the inner gradient computation. With the backward expressed
+# as a custom_vjp function B(q,k,v,dO) -> (dq,dk,dv), the outer
+# differentiation consumes B's registered VJP instead of trying to trace
+# Pallas internals, and every pass — forward, first-order backward, and the
+# second-order backward — runs fused kernels with no (T,S) HBM tensors.
+#
+# Derivative of the backward (per head; P true softmax, M keep mask,
+# inv = 1/(1-rate), dp_m = M*inv*(dO V^T), D = rowsum(P*dp_m),
+# dS = P*(dp_m - D)), given cotangents (A, Bc, C) of (dq, dk, dv):
+#   g_dS = scale*(A K^T + Q Bc^T)
+#   g_P  = M*inv*(dO C^T) + g_dS*(dp_m - D) - rowsum(P*g_dS)*dp_m
+#   g_dp = M*inv*(P*g_dS - rowsum(P*g_dS)*P)
+#   g_S  = P*(g_P - rowsum(P*g_P))
+#   c_q  = scale*(g_S K + dS Bc)        c_k = scale*(g_S^T Q + dS^T A)
+#   c_v  = g_dp^T dO                    c_dO = (M*inv*P) C + g_dp V
+# --------------------------------------------------------------------------
+
+SO_BLOCK_Q = 128  # fp32 (bq, S) tile working set caps the row kernel
+
+
+def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
+                    c_ref, l_ref, d_ref, cq_ref, cdo_ref, stats_ref, *,
+                    s_real, scale, rate, n_k_blocks, hd, g_sz):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    cqs = []
+    cdos = []
+    for g in range(g_sz):
+        sl = slice(g * hd, (g + 1) * hd)
+        qg = q_ref[0][:, sl]
+        kg = k_ref[0][:, sl]
+        vg = v_ref[0][:, sl]
+        dog = do_ref[0][:, sl]
+        Ag = a_ref[0][:, sl]
+        Bg = bc_ref[0][:, sl]
+        Cg = c_ref[0][:, sl]
+        L = l_ref[0, g]     # (BQ, 1)
+        D = d_ref[0, g]
+        mm = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mn = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = mm(qg, kg) * scale
+        logits = _mask_cols(logits, s_real)
+        p = jnp.exp(logits - L)                       # (BQ, S)
+        dp_raw = mm(dog, vg)
+        g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
+        g_Pd_raw = mm(dog, Cg)
+        if rate > 0.0:
+            bk = p.shape[1] // n_k_blocks
+            keep = _keep_mask_row(seed_ref[0, 0], i * g_sz + g, j, n_k_blocks,
+                                  bk, p.shape[0], rate)
+            inv = 1.0 / (1.0 - rate)
+            dp = jnp.where(keep, dp_raw * inv, 0.0)
+            g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            keep = None
+            dp = dp_raw
+            g_P1 = g_Pd_raw
+            pd = p
+        dS = p * (dp - D)
+        g_D = -jnp.sum(p * g_dS, axis=-1, keepdims=True)   # (BQ, 1)
+        g_P = g_P1 + g_dS * (dp - D) + g_D * dp
+        g_dpm = p * g_dS + g_D * p
+        if rate > 0.0:
+            g_dp_raw = jnp.where(keep, g_dpm / (1.0 - rate), 0.0)
+        else:
+            g_dp_raw = g_dpm
+        s_gp = jnp.sum(p * g_P, axis=-1, keepdims=True)
+        g_S = p * (g_P - s_gp)
+        cqs.append((mn(g_S.astype(kg.dtype), kg)
+                    + mn(dS.astype(Bg.dtype), Bg)) * scale)
+        cdos.append(mn(pd.astype(Cg.dtype), Cg) + mn(g_dp_raw.astype(vg.dtype), vg))
+        # row-global statistics for the column kernel (it only sees one
+        # k-block per tile and cannot form full-row sums itself)
+        stats_ref[0, g, :, 0] = g_D[:, 0]
+        stats_ref[0, g_sz + g, :, 0] = s_gp[:, 0]
+    cq = cqs[0] if g_sz == 1 else jnp.concatenate(cqs, axis=1)
+    cdo = cdos[0] if g_sz == 1 else jnp.concatenate(cdos, axis=1)
+    cq_ref[0] = cq.astype(cq_ref.dtype)
+    cdo_ref[0] = cdo.astype(cdo_ref.dtype)
+
+
+def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
+                    c_ref, l_ref, d_ref, ck_ref, cv_ref, *, t_real, scale,
+                    rate, n_q_blocks, bq, hd, g_sz):
+    i = pl.program_id(0)
+    jk = pl.program_id(1)
+    cks = []
+    cvs = []
+    for g in range(g_sz):
+        sl = slice(g * hd, (g + 1) * hd)
+        kg = k_ref[0][:, sl]       # (BK, hd)
+        vg = v_ref[0][:, sl]
+        Bg = bc_ref[0][:, sl]
+        Cg = c_ref[0][:, sl]
+        bk = kg.shape[0]
+        ck_acc = jnp.zeros((bk, hd), jnp.float32)
+        cv_acc = jnp.zeros((bk, hd), jnp.float32)
+        for jq in range(n_q_blocks):
+            qg = q_ref[0, pl.ds(jq * bq, bq), sl]
+            dog = do_ref[0, pl.ds(jq * bq, bq), sl]
+            Ag = a_ref[0, pl.ds(jq * bq, bq), sl]
+            L = l_ref[0, g, pl.ds(jq * bq, bq), :]
+            D = d_ref[0, g, pl.ds(jq * bq, bq), :]
+            mm = lambda x, y: jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            mt = lambda x, y: jax.lax.dot_general(
+                x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            logits = mm(qg, kg) * scale                 # (BQ, BK)
+            q_low = jq * bq
+            if q_low + bq > t_real:
+                row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + q_low
+                logits = jnp.where(row < t_real, logits, _NEG)
+            p = jnp.exp(logits - L)
+            dp_raw = mm(dog, vg)
+            g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
+            g_Pd_raw = mm(dog, Cg)
+            if rate > 0.0:
+                keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jq, jk,
+                                  (bq, bk), rate)
+                inv = 1.0 / (1.0 - rate)
+                dp = jnp.where(keep, dp_raw * inv, 0.0)
+                g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
+            else:
+                keep = None
+                dp = dp_raw
+                g_P1 = g_Pd_raw
+            # NOTE: the row sums (D, g_D, softmax correction) span the FULL
+            # row, not this tile — they arrive via the D input and the
+            # GD/GPS row statistics precomputed by the row kernel would be
+            # needed... instead recompute them here is impossible per tile.
+            # The col kernel therefore receives the row-global statistics
+            # rowsum(P*g_dS) and rowsum(P*g_P) through d_ref's second and
+            # third channels (packed by the caller).
+            g_D = d_ref[0, g_sz + g, pl.ds(jq * bq, bq), :]
+            s_gp = d_ref[0, 2 * g_sz + g, pl.ds(jq * bq, bq), :]
+            dS = p * (dp - D)
+            g_P = g_P1 + g_dS * (dp - D) + g_D * dp
+            if rate > 0.0:
+                g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
+            else:
+                g_dp_raw = p * g_dS + g_D * p
+            g_S = p * (g_P - s_gp)
+            ck_acc += (mt(g_S.astype(qg.dtype), qg)
+                       + mt(dS.astype(Ag.dtype), Ag)) * scale
+            cv_acc += mt(g_dp_raw.astype(dog.dtype), dog)
+        cks.append(ck_acc)
+        cvs.append(cv_acc)
+    ck = cks[0] if g_sz == 1 else jnp.concatenate(cks, axis=1)
+    cv = cvs[0] if g_sz == 1 else jnp.concatenate(cvs, axis=1)
+    ck_ref[0] = ck.astype(ck_ref.dtype)
+    cv_ref[0] = cv.astype(cv_ref.dtype)
+
+
+def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
+    """VJP of the attention backward: cotangents (A, Bc, C) of (dq, dk, dv)
+    -> cotangents (c_q, c_k, c_v, c_dO). All of q/k/v/do/A/Bc/C are packed
+    (B, T|S, H*Dh); L, D are (b*ng, g_sz, t_pad, 1) row stats."""
+    b, t, dim = q.shape
+    s = k.shape[1]
+    hd = dim // h
+    scale = 1.0 / (hd ** 0.5)
+    g_sz = _group(h, hd)
+    ng = h // g_sz
+    lanes = g_sz * hd
+    bq = _so_bq(t, s)
+    t_pad = _pad_len(t, bq)
+    s_pad = _pad_len(s, bq)
+    qf = _pad_t(q, t_pad)
+    kf = _pad_t(k, s_pad)
+    vf = _pad_t(v, s_pad)
+    dof = _pad_t(do, t_pad)
+    Af = _pad_t(A, t_pad)
+    Bf = _pad_t(Bc, s_pad)
+    Cf = _pad_t(C, s_pad)
+
+    row_specs = lambda: pl.BlockSpec(
+        (1, bq, lanes), lambda i, j, ng=ng: (i // ng, j, i % ng),
+        memory_space=pltpu.VMEM)
+    col_full = lambda n: pl.BlockSpec(
+        (1, n, lanes), lambda i, j, ng=ng: (i // ng, 0, i % ng),
+        memory_space=pltpu.VMEM)
+    stat_blk = lambda c: pl.BlockSpec(
+        (1, c, bq, 1), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+    stat_full = lambda c: pl.BlockSpec(
+        (1, c, t_pad, 1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+    grid_q = (b * ng, t_pad // bq)
+    cq, cdo, stats = pl.pallas_call(
+        functools.partial(_sov_row_kernel, s_real=s, scale=scale, rate=rate,
+                          n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
+            jax.ShapeDtypeStruct((b * ng, 2 * g_sz, t_pad, 1), jnp.float32),
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_specs(),            # q
+            col_full(s_pad),        # k
+            col_full(s_pad),        # v
+            row_specs(),            # do
+            row_specs(),            # A
+            col_full(s_pad),        # Bc
+            col_full(s_pad),        # C
+            stat_blk(g_sz),         # L
+            stat_blk(g_sz),         # D
+        ],
+        out_specs=(row_specs(), row_specs(), stat_blk(2 * g_sz)),
+    )(seed, qf, kf, vf, dof, Af, Bf, Cf, L, D)
+
+    # pack [D | g_D | s_gp] for the column kernel
+    D_ext = jnp.concatenate([D, stats], axis=1)  # (b*ng, 3*g_sz, t_pad, 1)
+
+    grid_k = (b * ng, s_pad // bq)
+    ck, cv = pl.pallas_call(
+        functools.partial(_sov_col_kernel, t_real=t, scale=scale, rate=rate,
+                          n_q_blocks=t_pad // bq, bq=bq, hd=hd, g_sz=g_sz),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
+        ),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            col_full(t_pad),        # q (full rows)
+            row_specs(),            # k block
+            row_specs(),            # v block
+            col_full(t_pad),        # do
+            col_full(t_pad),        # A
+            row_specs(),            # Bc block
+            row_specs(),            # C block
+            stat_full(g_sz),        # L (full)
+            stat_full(3 * g_sz),    # D_ext (full)
+        ],
+        out_specs=(row_specs(), row_specs()),
+    )(seed, qf, kf, vf, dof, Af, Bf, Cf, L, D_ext)
+
+    return cq[:, :t], ck[:, :s], cv[:, :s], cdo[:, :t]
+
+
+def _so_bq(t, s):
+    """ONE block size for the whole second-order path (fwd, 1st-order bwd,
+    2nd-order kernels): the dropout-mask counter streams are keyed by
+    (head, q_block, k_block) TILES, so every pass must tile identically.
+    128 keeps the row kernel's fp32 (bq, S) working set inside VMEM."""
+    return min(SO_BLOCK_Q, _block_q(max(t, s)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_grads(q, k, v, do, seed, rate, h):
+    """The attention backward as a first-class function:
+    (q, k, v, dO) -> (dq, dk, dv). Self-contained: recomputes (O, L) with
+    the forward kernel so its VJP needs no opaque residuals from callers."""
+    bq = _so_bq(q.shape[1], k.shape[1])
+    o, L = _fwd_impl(q, k, v, seed, rate, h, bq=bq)
+    return _bwd_kernels(q, k, v, do, o, L, seed, rate, h, bq)
+
+
+def _flash_grads_fwd(q, k, v, do, seed, rate, h):
+    out = _flash_grads(q, k, v, do, seed, rate, h)  # recursive re-entry
+    return out, (q, k, v, do, seed)
+
+
+def _flash_grads_bwd(rate, h, res, cts):
+    q, k, v, do, seed = res
+    A, Bc, C = cts
+    b, t, dim = q.shape
+    s = k.shape[1]
+    hd = dim // h
+    g_sz = _group(h, hd)
+    ng = h // g_sz
+    bq = _so_bq(t, s)
+    t_pad = _pad_len(t, bq)
+    # recompute L and D at the second-order block size
+    o, L = _fwd_impl(q, k, v, seed, rate, h, bq=bq)
+    gf = _pad_t(do, t_pad)
+    D = _make_D(gf, o, b, t_pad, h, hd, ng, g_sz)
+    cq, ck, cv, cdo = _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h)
+    return cq, ck, cv, cdo, None
+
+
+_flash_grads.defvjp(_flash_grads_fwd, _flash_grads_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flashso(q, k, v, seed, rate, h):
+    o, _ = _fwd_impl(q, k, v, seed, rate, h, bq=_so_bq(q.shape[1], k.shape[1]))
+    return o[:, : q.shape[1]]
+
+
+def _flashso_fwd(q, k, v, seed, rate, h):
+    out = _flashso(q, k, v, seed, rate, h)  # recursive re-entry
+    return out, (q, k, v, seed)
+
+
+def _flashso_bwd(rate, h, res, g):
+    q, k, v, seed = res
+    dq, dk, dv = _flash_grads(q, k, v, g, seed, rate, h)
+    return dq, dk, dv, None
+
+
+_flashso.defvjp(_flashso_fwd, _flashso_bwd)
+
+
+def flash_attention_so_bthd(q, k, v, num_heads, dropout_rate=0.0,
+                            dropout_rng=None):
+    """Packed-head fused attention with EXPLICIT second-order kernels: the
+    backward is itself a custom-vjp function whose VJP runs two Pallas
+    kernels implementing the full derivative of the attention backward
+    (see the derivation block above). Usable under reverse-over-reverse —
+    the meta inner loss — with every pass fused and no (T, S) HBM tensors.
+    Third and higher orders are not defined."""
+    seed, rate = _seed_rate(dropout_rate, dropout_rng)
+    return _flashso(q, k, v, seed, rate, num_heads)

@@ -157,3 +157,103 @@ def test_flash2_second_order_matches_reference(t, s):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
     np.testing.assert_allclose(np.asarray(gg1), np.asarray(gg2), atol=3e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize("t,s", [(200, 200), (130, 260)])
+def test_flashso_second_order_matches_reference(t, s):
+    """Explicit second-order kernels (the backward as a custom-vjp function
+    whose VJP is the _sov_row/_sov_col Pallas kernels) vs plain attention at
+    first and second order, for cotangents flowing into q, k, v AND the
+    upstream dO path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from interactron_tpu.ops import flash_attention as fa
+
+    rng = np.random.RandomState(11)
+    b, h, d = 1, 2, 64
+    q = _rand(rng, b, t, h * d)
+    k = _rand(rng, b, s, h * d)
+    v = _rand(rng, b, s, h * d)
+    w = _rand(rng, b, t, h * d)
+    w2 = _rand(rng, b, t, h * d)
+
+    def plain(q, k, v):
+        qh = q.reshape(b, t, h, d)
+        kh = k.reshape(b, s, h, d)
+        vh = v.reshape(b, s, h, d)
+        logits = jnp.einsum("bthd,bshd->bhts", qh, kh) / np.sqrt(d)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhts,bshd->bthd", p, vh).reshape(b, t, h * d)
+
+    fso = lambda q, k, v: fa.flash_attention_so_bthd(q, k, v, h)
+
+    def outer(fn, wrt):
+        # inner grad wrt q with a dO that DEPENDS on the outer variable
+        # (exercises the c_dO output of the second-order kernels)
+        def f(x):
+            kk = x if wrt == "k" else k
+            vv = x if wrt == "v" else v
+            g = jax.grad(lambda q: jnp.sum(fn(q, kk, vv) * (w + 0.1 * jnp.sum(x) * w2)))(q)
+            return jnp.sum(g * (w2 + 0.5))
+        return f
+
+    with pltpu.force_tpu_interpret_mode():
+        o1 = fso(q, k, v)
+        g1 = jax.grad(lambda q: jnp.sum(fso(q, k, v) * w))(q)
+        ggk1 = jax.grad(outer(fso, "k"))(k)
+        ggv1 = jax.grad(outer(fso, "v"))(v)
+    o2 = plain(q, k, v)
+    g2 = jax.grad(lambda q: jnp.sum(plain(q, k, v) * w))(q)
+    ggk2 = jax.grad(outer(plain, "k"))(k)
+    ggv2 = jax.grad(outer(plain, "v"))(v)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ggk1), np.asarray(ggk2), atol=5e-3, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ggv1), np.asarray(ggv2), atol=5e-3, rtol=2e-2)
+
+
+def test_so_path_in_meta_step_matches_xla():
+    """End to end: the full second-order train step (grads_and_metrics) with
+    the explicit second-order kernels routed into the twice-differentiated
+    inner closure must produce the same gradients as the materializing XLA
+    path. Dropout zeroed (the two paths use different PRNGs)."""
+    import sys
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    sys.path.insert(0, ".")
+    from tests.tiny_config import tiny_config
+    from interactron_tpu.utils.config import build_model
+    from interactron_tpu.ops import attention as attn
+    from __graft_entry__ import _episode_batch
+
+    cfg = tiny_config("interactron")
+    cfg.MODEL.EMBEDDING_PDROP = 0.0
+    cfg.MODEL.RESIDUAL_PDROP = 0.0
+    cfg.MODEL.ATTENTION_PDROP = 0.0
+    task = build_model(cfg)
+    params, frozen = task.init(jax.random.PRNGKey(0))
+    batch = _episode_batch(np.random.RandomState(0), 2, 5, task.img_size,
+                           task.max_boxes, task.num_classes)
+    rng = jax.random.PRNGKey(1)
+    ps = task.init_path_state(8)
+
+    g_ref, m_ref, _ = task.grads_and_metrics(params, frozen, batch, rng, ps)
+
+    attn.set_flash_attention(True)
+    min_hd, min_s = attn._FLASH_MIN_HD, attn._FLASH_MIN_S
+    attn._FLASH_MIN_HD, attn._FLASH_MIN_S = 8, 16
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            g_so, m_so, _ = task.grads_and_metrics(params, frozen, batch, rng, ps)
+    finally:
+        attn.set_flash_attention(False)
+        attn._FLASH_MIN_HD, attn._FLASH_MIN_S = min_hd, min_s
+
+    np.testing.assert_allclose(
+        float(m_so["total_loss"]), float(m_ref["total_loss"]), rtol=2e-3)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    so_leaves = jax.tree_util.tree_leaves(g_so)
+    scale = max(float(jnp.abs(x).max()) for x in ref_leaves)
+    worst = max(float(jnp.abs(a - b).max()) for a, b in zip(so_leaves, ref_leaves))
+    assert worst < 3e-2 * max(scale, 1.0), (worst, scale)
