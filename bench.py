@@ -37,13 +37,16 @@ ITERS = int(os.environ.get("BENCH_ITERS", 24))
 
 
 def build(flash):
-    from interactron_tpu.ops.attention import set_flash_attention
     from interactron_tpu.tasks import InteractronTask
     from interactron_tpu.utils.config import get_config
     from __graft_entry__ import _episode_batch
 
-    set_flash_attention(flash)
+    # The bench config IS the production config: the flash toggle goes
+    # through the same MODEL.FLASH_ATTENTION knob tasks/base.py consumes for
+    # train.py/evaluate.py (default ON when backend==tpu), so the measured
+    # path is exactly what a real run executes.
     cfg = get_config(CONFIG)
+    setattr(cfg.MODEL, "FLASH_ATTENTION", flash)
     task = InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
 

@@ -88,6 +88,15 @@ class TaskModel:
             from interactron_tpu.ops.attention import set_chunked_attention
 
             set_chunked_attention(True)
+        # Production gate for the Pallas flash/second-order attention kernels
+        # (ops/flash_attention.py). Default ON when running on real TPU
+        # hardware so train.py/evaluate.py execute the same kernels bench.py
+        # measures; OFF elsewhere (the kernels only run in slow interpret
+        # mode off-TPU). MODEL.FLASH_ATTENTION overrides either way.
+        from interactron_tpu.ops.attention import set_flash_attention
+
+        flash_default = jax.default_backend() == "tpu"
+        set_flash_attention(bool(m.get("FLASH_ATTENTION", flash_default)))
 
     # ------------------------------------------------------------------ init
 

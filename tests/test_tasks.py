@@ -106,3 +106,24 @@ def test_eval_metrics_deterministic(rng):
     m1, _ = em(params, frozen, batch, jax.random.PRNGKey(5))
     m2, _ = em(params, frozen, batch, jax.random.PRNGKey(5))
     assert float(m1["total_loss"]) == float(m2["total_loss"])
+
+
+def test_flash_attention_config_gate():
+    """MODEL.FLASH_ATTENTION engages the kernel gate at task build, so the
+    production train.py/evaluate.py path hits the same kernels bench.py
+    measures (default follows the backend: on for TPU, off elsewhere)."""
+    from interactron_tpu.ops import attention as attn
+
+    prev = attn._USE_PALLAS
+    try:
+        cfg = tiny_config("interactron")
+        tasks.InteractronTask(cfg)
+        assert attn._USE_PALLAS == (jax.default_backend() == "tpu")
+        setattr(cfg.MODEL, "FLASH_ATTENTION", True)
+        tasks.InteractronTask(cfg)
+        assert attn._USE_PALLAS is True
+        setattr(cfg.MODEL, "FLASH_ATTENTION", False)
+        tasks.InteractronTask(cfg)
+        assert attn._USE_PALLAS is False
+    finally:
+        attn.set_flash_attention(prev)
