@@ -9,6 +9,18 @@ import pytest
 from interactron_tpu.ops.attention import dot_product_attention
 
 
+def _maybe_interpret():
+    """Pallas interpret mode on the CPU test platform; a no-op on the
+    hardware lane (TESTS_ON_TPU=1) so the kernels compile and run on the
+    real chip."""
+    import contextlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() == "tpu":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
 def _rand(rng, *shape):
     return jnp.asarray(rng.randn(*shape).astype("float32") * 0.3)
 
@@ -22,7 +34,7 @@ def test_flash_attention_matches_reference_interpret(t, s, d):
     rng = np.random.RandomState(0)
     b, h = 1, 2
     q, k, v = _rand(rng, b, h, t, d), _rand(rng, b, h, s, d), _rand(rng, b, h, s, d)
-    with pltpu.force_tpu_interpret_mode():
+    with _maybe_interpret():
         out = fa.flash_attention(q, k, v)
     ref = dot_product_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
@@ -45,7 +57,7 @@ def test_flash_attention_backward_matches(t, s, d):
     def loss_ref(q, k, v):
         return jnp.sum(dot_product_attention(q, k, v) * w)
 
-    with pltpu.force_tpu_interpret_mode():
+    with _maybe_interpret():
         gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), atol=5e-5)
@@ -147,7 +159,7 @@ def test_flash2_second_order_matches_reference(t, s):
             return jnp.sum(g * (w + 0.3))
         return f
 
-    with pltpu.force_tpu_interpret_mode():
+    with _maybe_interpret():
         o1 = fa.flash_attention_2nd_bthd(q, k, v, h)
         g1 = jax.grad(lambda q: jnp.sum(fa.flash_attention_2nd_bthd(q, k, v, h) * w))(q)
         gg1 = jax.grad(outer(lambda q, k, v: fa.flash_attention_2nd_bthd(q, k, v, h)))(k)
@@ -197,7 +209,7 @@ def test_flashso_second_order_matches_reference(t, s):
             return jnp.sum(g * (w2 + 0.5))
         return f
 
-    with pltpu.force_tpu_interpret_mode():
+    with _maybe_interpret():
         o1 = fso(q, k, v)
         g1 = jax.grad(lambda q: jnp.sum(fso(q, k, v) * w))(q)
         ggk1 = jax.grad(outer(fso, "k"))(k)
@@ -244,7 +256,7 @@ def test_so_path_in_meta_step_matches_xla():
     min_hd, min_s = attn._FLASH_MIN_HD, attn._FLASH_MIN_S
     attn._FLASH_MIN_HD, attn._FLASH_MIN_S = 8, 16
     try:
-        with pltpu.force_tpu_interpret_mode():
+        with _maybe_interpret():
             g_so, m_so, _ = task.grads_and_metrics(params, frozen, batch, rng, ps)
     finally:
         attn.set_flash_attention(False)

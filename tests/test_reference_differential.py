@@ -113,15 +113,16 @@ def pair(tmp_path_factory):
 
 def _torch_data(ep, with_labels=False):
     frames = torch.tensor(ep["frames"]).permute(0, 1, 4, 2, 3).contiguous()
+    s = frames.shape[1]  # supports partial-episode prefixes (s <= S)
     data = {
         "frames": frames,
-        "masks": torch.zeros((1, S, RES, RES), dtype=torch.bool),
+        "masks": torch.zeros((1, s, RES, RES), dtype=torch.bool),
     }
     if with_labels:
         data["category_ids"] = [
-            [torch.tensor(ep["labels"][0, j], dtype=torch.long) for j in range(S)]
+            [torch.tensor(ep["labels"][0, j], dtype=torch.long) for j in range(s)]
         ]
-        data["boxes"] = [[torch.tensor(ep["boxes"][0, j]) for j in range(S)]]
+        data["boxes"] = [[torch.tensor(ep["boxes"][0, j]) for j in range(s)]]
         data["actions"] = [torch.tensor(ep["actions"][0], dtype=torch.long)]
         data["initial_image_path"] = ["episode_0"]
     return data
@@ -295,3 +296,55 @@ def test_forward_losses_and_second_order_grads_differential(pair, monkeypatch):
             ours / denom, ref_g / denom, atol=5e-3,
             err_msg=f"fusion grad {name}",
         )
+
+
+def test_next_action_differential_partial_episodes(pair):
+    """Closed-loop policy rollout parity for PARTIAL episodes (VERDICT r2
+    missing #2): the reference runs the fusion on 1..4-frame prefixes
+    (models/interactron.py:174-197) — the token layout at s<5 keeps ALL 5
+    action tokens ([s*361 img | s*50 pred | 5 action]) and slices
+    seq_pos_embed[:, :t]. Compares the LIVE reference get_next_action
+    (argmax) and the fusion's raw action logits against our task.next_action
+    for every prefix length."""
+    ref_model, task, params, frozen, ep = pair
+
+    # capture the live fusion's action logits at each call
+    caught = {}
+    orig_forward = ref_model.fusion.forward
+
+    def capture(x):
+        out = orig_forward(x)
+        caught["actions"] = out["actions"].detach().numpy()
+        return out
+
+    ref_model.fusion.forward = capture
+    try:
+        for s in range(1, 5):
+            ep_s = {
+                "frames": ep["frames"][:, :s],
+                "labels": ep["labels"][:, :s],
+                "boxes": ep["boxes"][:, :s],
+                "valid": ep["valid"][:, :s],
+                "actions": ep["actions"][:, :s],
+            }
+            a_ref = ref_model.get_next_action(_torch_data(ep_s, with_labels=True))
+            ref_logits = caught["actions"]  # (4, 4) after squeeze
+
+            fus = task.fusion_apply(
+                params["fusion"],
+                jax.jit(
+                    lambda p, f, fr: task.detr_apply(p, f, fr, deterministic=True)
+                )(params["detector"], frozen, jnp.asarray(ep_s["frames"][0])),
+                deterministic=True,
+            )
+            our_logits = np.asarray(fus["actions"][0])  # (4, 4)
+            np.testing.assert_allclose(our_logits, ref_logits, atol=2e-3, rtol=1e-3)
+
+            a_ours = int(
+                jax.jit(task.next_action)(
+                    params, frozen, {"frames": jnp.asarray(ep_s["frames"])}
+                )
+            )
+            assert a_ours == int(a_ref), (s, a_ours, a_ref)
+    finally:
+        ref_model.fusion.forward = orig_forward

@@ -196,6 +196,11 @@ def install():
     tv.__version__ = "0.15.0"
     tv.__shim__ = True
     tv._is_tracing = lambda: False
+    # a real ModuleSpec so importlib.util.find_spec("torchvision") (e.g. HF
+    # datasets' availability probe) does not raise on the shim
+    import importlib.machinery
+
+    tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
 
     ops = types.ModuleType("torchvision.ops")
     ops.nms = nms
@@ -216,12 +221,88 @@ def install():
     utils_mod.IntermediateLayerGetter = IntermediateLayerGetter
     models._utils = utils_mod
 
+    # transforms: enough surface for the reference's transform modules to
+    # IMPORT (utils/transform_utis.py builds Compose pipelines at module
+    # scope; the functional ops are only invoked on real image data, which
+    # the differential tests feed as pre-transformed tensors)
+    transforms_mod = types.ModuleType("torchvision.transforms")
+    tfunc = types.ModuleType("torchvision.transforms.functional")
+
+    def _to_tensor(img):
+        import numpy as _np
+
+        arr = _np.asarray(img, _np.float32) / 255.0
+        return torch.from_numpy(arr).permute(2, 0, 1).contiguous()
+
+    def _normalize(t, mean, std, inplace=False):
+        m = torch.tensor(mean).view(-1, 1, 1)
+        s = torch.tensor(std).view(-1, 1, 1)
+        return (t - m) / s
+
+    def _hflip(img):
+        import PIL.Image
+
+        return img.transpose(PIL.Image.FLIP_LEFT_RIGHT)
+
+    tfunc.to_tensor = _to_tensor
+    tfunc.normalize = _normalize
+    tfunc.hflip = _hflip
+    transforms_mod.functional = tfunc
+
+    class _RandomCrop:
+        @staticmethod
+        def get_params(img, size):
+            import random as _random
+
+            w, h = img.size
+            th, tw = size
+            return (
+                _random.randint(0, max(0, h - th)),
+                _random.randint(0, max(0, w - tw)),
+                th,
+                tw,
+            )
+
+    transforms_mod.RandomCrop = _RandomCrop
+    transforms_mod.RandomErasing = type("RandomErasing", (), {})
+
+    class _Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    class _Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean, self.std = mean, std
+
+        def __call__(self, t):
+            return _normalize(t, self.mean, self.std)
+
+    class _ToPILImage:
+        def __call__(self, t):
+            import numpy as _np
+            import PIL.Image
+
+            arr = t.permute(1, 2, 0).clamp(0, 1).numpy()
+            return PIL.Image.fromarray((arr * 255).astype(_np.uint8))
+
+    transforms_mod.Compose = _Compose
+    transforms_mod.Normalize = _Normalize
+    transforms_mod.ToPILImage = _ToPILImage
+
     tv.ops = ops
     tv.models = models
+    tv.transforms = transforms_mod
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
     sys.modules["torchvision.ops.boxes"] = boxes_mod
     sys.modules["torchvision.ops.misc"] = misc_mod
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models._utils"] = utils_mod
+    sys.modules["torchvision.transforms"] = transforms_mod
+    sys.modules["torchvision.transforms.functional"] = tfunc
     return tv
