@@ -77,8 +77,15 @@ class GPTBlock(nn.Module):
     dtype: Any
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, q_len=None):
+        """q_len: restrict QUERIES to the last q_len tokens (keys/values stay
+        full) and return only those rows. Exact for the final block: the
+        decode heads read only the last n_preds+5 positions
+        (transformer.py:59-66), so the 5*361 img-token outputs of the last
+        layer are dead — skipping their queries removes ~87% of that
+        layer's attention and MLP work with bit-identical head inputs."""
         h = LayerNorm(name="ln1")(x)
+        q_in = h if q_len is None else h[:, -q_len:]
         h = MultiHeadAttention(
             self.embed_dim,
             self.num_heads,
@@ -86,8 +93,8 @@ class GPTBlock(nn.Module):
             dtype=self.dtype,
             kernel_init=normal02,
             name="attn",
-        )(h, h, h, deterministic=deterministic)
-        x = x + Dropout(self.resid_pdrop)(h, deterministic)
+        )(q_in, h, h, deterministic=deterministic)
+        x = (x if q_len is None else x[:, -q_len:]) + Dropout(self.resid_pdrop)(h, deterministic)
         h = LayerNorm(name="ln2")(x)
         h = Dense(4 * self.embed_dim, dtype=self.dtype, kernel_init=normal02, name="mlp_fc")(h)
         h = nn.gelu(h, approximate=False)
@@ -159,7 +166,8 @@ class FusionGPT(nn.Module):
         )
         h = seq + pos[None, :t].astype(self.dtype)
         h = Dropout(self.embd_pdrop)(h, deterministic)
-        Blk = nn.remat(GPTBlock, static_argnums=(2,)) if self.remat else GPTBlock
+        out_len = n_preds + C.NUM_FRAMES  # the only positions the heads read
+        Blk = nn.remat(GPTBlock, static_argnums=(2, 3)) if self.remat else GPTBlock
         for i in range(self.num_layers):
             h = Blk(
                 self.embed_dim,
@@ -168,7 +176,7 @@ class FusionGPT(nn.Module):
                 self.resid_pdrop,
                 self.dtype,
                 name=f"block{i}",
-            )(h, deterministic)
+            )(h, deterministic, out_len if i == self.num_layers - 1 else None)
         h = LayerNorm(name="ln_f")(h)
         y = Dense(
             self.output_size, use_bias=False, dtype=self.dtype, kernel_init=normal02, name="head"

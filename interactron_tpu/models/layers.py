@@ -20,6 +20,20 @@ xavier_uniform = nn.initializers.xavier_uniform()
 he_normal = nn.initializers.he_normal()
 normal02 = nn.initializers.normal(stddev=0.02)
 
+# Express trainable k>1 convs as im2col GEMMs (patch extraction + dot).
+# Matters under the vmapped meta step: the adapted conv KERNELS are
+# per-episode there, so both the forward and the dW of a lax conv lower to
+# batch-grouped convolutions, which the TPU executes far below MXU peak.
+# As GEMMs they lower to batched matmuls at any differentiation order.
+# Frozen convs (stem+layer1) keep the direct conv: their kernels are never
+# per-episode. Toggled from config (MODEL.IM2COL_CONV) at task build.
+_USE_IM2COL = False
+
+
+def set_im2col_conv(enabled: bool):
+    global _USE_IM2COL
+    _USE_IM2COL = bool(enabled)
+
 
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding and an optional `frozen`
@@ -60,6 +74,24 @@ class Conv2d(nn.Module):
                 xs.astype(self.dtype),
                 kernel[0, 0].astype(self.dtype),
             )
+        elif _USE_IM2COL and not self.frozen:
+            # patches feature order is (C, kh, kw) — verified against the
+            # direct conv; kernel transposes to match
+            patches = jax.lax.conv_general_dilated_patches(
+                x.astype(self.dtype),
+                self.kernel_size,
+                self.strides,
+                pad,
+                rhs_dilation=self.dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            kh, kw = self.kernel_size
+            w = (
+                kernel.astype(self.dtype)
+                .transpose(2, 0, 1, 3)
+                .reshape(in_features * kh * kw, self.features)
+            )
+            y = jnp.dot(patches, w)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -206,6 +238,12 @@ class MultiHeadAttention(nn.Module):
                      jnp.concatenate([bq_, bk_]))
             qh, kh = jnp.split(qk, 2, axis=-1)
             vh = lin(v, wv, bv_)
+        elif k is v:
+            # query-pruned last fusion block: q is a slice of the k/v tensor
+            kv = lin(k, jnp.concatenate([wk, wv], axis=1),
+                     jnp.concatenate([bk_, bv_]))
+            kh, vh = jnp.split(kv, 2, axis=-1)
+            qh = lin(q, wq, bq_)
         else:
             qh = lin(q, wq, bq_)
             kh = lin(k, wk, bk_)

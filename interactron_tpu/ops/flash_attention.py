@@ -94,21 +94,33 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, s_real, scale,
                 rate, n_k_blocks, hd, g_sz):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    q = q_ref[0]   # (BQ, g_sz*hd)
+    # VPU-pass economy (the kernels are softmax-VPU-bound, not MXU-bound):
+    #   * q is pre-scaled ONCE (a (BQ, 128) pass) with scale*log2(e) folded
+    #     in, so neither the (BQ, S) logits scale pass nor exp->exp2
+    #     conversion costs anything;
+    #   * NO column masking pass: K/V are zero-padded by construction, so
+    #     every padded column contributes exactly exp2(0 - m) to the row
+    #     denominator (and nothing to P@V since v_pad = 0) — subtract the
+    #     analytic pad mass from denom instead of masking (BQ, S) logits;
+    #   * the 1/denom normalization folds into the (BQ, hd) output, not a
+    #     (BQ, S) division pass.
+    q = q_ref[0] * (scale * 1.4426950408889634)   # (BQ, g_sz*hd)
     k = k_ref[0]   # (S_pad, g_sz*hd)
     v = v_ref[0]
+    s_pad = k.shape[0]
+    n_pad = s_pad - s_real
     outs = []
     for g in range(g_sz):
         sl = slice(g * hd, (g + 1) * hd)
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        logits = _mask_cols(logits, s_real)
+        )
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
+        p = jnp.exp2(logits - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        p = p / denom
+        if n_pad:
+            denom = denom - n_pad * jnp.exp2(-m)
         if rate > 0.0:
             bk = p.shape[1] // n_k_blocks
             keep = _keep_mask_row(seed_ref[0, 0], i * g_sz + g, j, n_k_blocks,
@@ -117,8 +129,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, s_real, scale,
         outs.append(jax.lax.dot_general(
             p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ))
-        l_ref[0, g, :, 0] = (m + jnp.log(denom))[:, 0]
+        ) / denom)
+        # L stays in natural-log space (the backward kernels consume it)
+        l_ref[0, g, :, 0] = m[:, 0] * 0.6931471805599453 + jnp.log(denom[:, 0])
     o = outs[0] if g_sz == 1 else jnp.concatenate(outs, axis=1)
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -127,7 +140,10 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
                s_real, scale, rate, n_k_blocks, hd, g_sz):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    q = q_ref[0]
+    # no column masking needed anywhere here: padded K ROWS are zero, so
+    # whatever dS values the padded columns carry, their dQ contribution
+    # (dS @ K) is exactly zero
+    q = q_ref[0] * (scale * 1.4426950408889634)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
@@ -139,9 +155,8 @@ def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        logits = _mask_cols(logits, s_real)
-        p = jnp.exp(logits - L)
+        )
+        p = jnp.exp2(logits - L * 1.4426950408889634)
         dp = jax.lax.dot_general(do[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -176,20 +191,19 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref,
         dv_acc = jnp.zeros((bk, hd), jnp.float32)
         dk_acc = jnp.zeros((bk, hd), jnp.float32)
         for jq in range(n_q_blocks):
-            qg = q_ref[0, pl.ds(jq * bq, bq), sl]          # (BQ, hd)
+            # no padded-query-row masking: dO and D are zero-padded, so
+            # dS = P*(dP - D) vanishes on padded rows, and dV's padded-row
+            # contribution is P^T @ 0
+            qg = q_ref[0, pl.ds(jq * bq, bq), sl]          # raw: dK needs it
+            qs = qg * (scale * 1.4426950408889634)         # scaled: logits
             dog = do_ref[0, pl.ds(jq * bq, bq), sl]
             L = l_ref[0, g, pl.ds(jq * bq, bq), :]         # (BQ, 1)
             D = d_ref[0, g, pl.ds(jq * bq, bq), :]
             logits = jax.lax.dot_general(
-                qg, kg, (((1,), (1,)), ((), ())),
+                qs, kg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale                                      # (BQ, BK)
-            # mask padded QUERY rows
-            q_low = jq * bq
-            if q_low + bq > t_real:
-                row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + q_low
-                logits = jnp.where(row < t_real, logits, _NEG)
-            p = jnp.exp(logits - L)                        # (BQ, BK)
+            )                                              # (BQ, BK)
+            p = jnp.exp2(logits - L * 1.4426950408889634)  # (BQ, BK)
             dp = jax.lax.dot_general(dog, vg, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             if rate > 0.0:

@@ -39,6 +39,9 @@ def _resolve_dtype(config):
 
 class TaskModel:
     needs_fusion = False
+    # True for the meta tasks whose inner loop adapts per-episode conv
+    # kernels (drives the im2col default)
+    needs_adaptation = False
 
     def __init__(self, config):
         self.config = config
@@ -97,6 +100,13 @@ class TaskModel:
 
         flash_default = jax.default_backend() == "tpu"
         set_flash_attention(bool(m.get("FLASH_ATTENTION", flash_default)))
+        # im2col conv formulation (models/layers.py): candidate for the
+        # per-episode adapted conv kernels; measured SLOWER for the full
+        # predict step when applied to every trainable conv (38 vs 91
+        # eps/s — the grouped-conv patch extraction dominates), so opt-in.
+        from interactron_tpu.models.layers import set_im2col_conv
+
+        set_im2col_conv(bool(m.get("IM2COL_CONV", False)))
 
     # ------------------------------------------------------------------ init
 

@@ -59,6 +59,7 @@ def _weighted(losses):
 
 class InteractronRandomTask(TaskModel):
     needs_fusion = True
+    needs_adaptation = True
     with_policy = False
 
     # default row count for a transient path state when the caller does not
