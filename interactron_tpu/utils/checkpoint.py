@@ -104,11 +104,27 @@ def load_pretrained(path, params, frozen):
         blob = torch.load(path, map_location="cpu", weights_only=False)
         sd = blob.get("model", blob) if isinstance(blob, dict) else blob
         sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-        det_params, det_frozen = convert_detector(sd)
-        loaded_params = {"detector": det_params}
-        if any(k.startswith("fusion.") for k in sd):
-            loaded_params["fusion"] = convert_fusion_gpt(sd)
-        loaded = {"params": loaded_params, "frozen": det_frozen}
+        from interactron_tpu.utils.convert_weights import _looks_like_vit
+
+        if _looks_like_vit(sd):
+            # standard ViT-B/16 backbone checkpoint (interactron_scaled);
+            # the target position-grid size comes from the model's init tree
+            from interactron_tpu.utils.convert_weights import convert_vit_b16
+
+            n_pos = params["detector"]["backbone"]["pos_embed"].shape[0]
+            grid = int(round(float(n_pos ** 0.5)))
+            loaded = {
+                "params": {
+                    "detector": {"backbone": convert_vit_b16(sd, grid=grid)}
+                },
+                "frozen": None,
+            }
+        else:
+            det_params, det_frozen = convert_detector(sd)
+            loaded_params = {"detector": det_params}
+            if any(k.startswith("fusion.") for k in sd):
+                loaded_params["fusion"] = convert_fusion_gpt(sd)
+            loaded = {"params": loaded_params, "frozen": det_frozen}
     else:
         loaded = serialization.msgpack_restore(open(path, "rb").read())
     if not (isinstance(loaded, dict) and "params" in loaded):

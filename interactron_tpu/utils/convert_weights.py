@@ -144,6 +144,70 @@ def convert_detector(sd, d_model=256, enc_layers=6, dec_layers=6):
     return params, {"detector": {"backbone": frozen_backbone}}
 
 
+def convert_vit_b16(sd, grid=19, num_layers=12, width=768):
+    """Standard (timm-layout) ViT-B/16 state_dict -> our models/vit.py tree
+    (VERDICT r2 next-step #7: pretrained backbone for interactron_scaled).
+
+    Handles: `patch_embed.proj.{weight,bias}` (conv OIHW -> flattened
+    (kh,kw,c) Dense kernel, matching vit.py's patchify order),
+    `pos_embed` (cls token dropped; position grid bicubic-resized from the
+    checkpoint's grid to `grid`x`grid` — 19x19 at TEST_RESOLUTION 304),
+    `blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}`, `norm`.
+    A `module.`/`backbone.` key prefix is stripped if present.
+    """
+    for pref in ("module.", "backbone."):
+        if all(k.startswith(pref) for k in sd):
+            sd = {k[len(pref):]: v for k, v in sd.items()}
+    pw = _t(sd["patch_embed.proj.weight"])  # (width, 3, 16, 16)
+    params = {
+        "patch_embed": {
+            "kernel": pw.transpose(2, 3, 1, 0).reshape(-1, width),
+            "bias": _t(sd["patch_embed.proj.bias"]),
+        }
+    }
+    pos = _t(sd["pos_embed"])
+    pos = pos[0] if pos.ndim == 3 else pos
+    g0 = int(round(float(np.sqrt(pos.shape[0]))))
+    if g0 * g0 != pos.shape[0]:  # leading cls token
+        pos = pos[pos.shape[0] - g0 * g0:]
+        g0 = int(round(float(np.sqrt(pos.shape[0]))))
+    assert g0 * g0 == pos.shape[0], f"pos_embed length {pos.shape[0]} not a grid"
+    if g0 != grid:
+        import jax
+
+        pos = np.asarray(
+            jax.image.resize(
+                pos.reshape(g0, g0, width), (grid, grid, width), method="bicubic"
+            ),
+            np.float32,
+        )
+    params["pos_embed"] = pos.reshape(grid * grid, width)
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        qkv_w = _t(sd[f"{p}.attn.qkv.weight"])  # (3*width, width)
+        qkv_b = _t(sd[f"{p}.attn.qkv.bias"])
+        params[f"block{i}"] = {
+            "ln1": {"scale": _t(sd[f"{p}.norm1.weight"]), "bias": _t(sd[f"{p}.norm1.bias"])},
+            "ln2": {"scale": _t(sd[f"{p}.norm2.weight"]), "bias": _t(sd[f"{p}.norm2.bias"])},
+            "attn": {
+                "q_proj": {"kernel": qkv_w[:width].T, "bias": qkv_b[:width]},
+                "k_proj": {"kernel": qkv_w[width : 2 * width].T, "bias": qkv_b[width : 2 * width]},
+                "v_proj": {"kernel": qkv_w[2 * width :].T, "bias": qkv_b[2 * width :]},
+                "out_proj": _linear(sd, f"{p}.attn.proj"),
+            },
+            "mlp_fc": _linear(sd, f"{p}.mlp.fc1"),
+            "mlp_proj": _linear(sd, f"{p}.mlp.fc2"),
+        }
+    params["ln_f"] = {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])}
+    return params
+
+
+def _looks_like_vit(sd):
+    return "patch_embed.proj.weight" in sd or any(
+        k.endswith("patch_embed.proj.weight") for k in sd
+    )
+
+
 def convert_fusion_gpt(sd, num_layers=4):
     """models/transformer.py + gpt.py state_dict -> FusionGPT params."""
     if any(k.startswith("fusion.") for k in sd):
@@ -228,6 +292,23 @@ def main():
     blob = torch.load(src, map_location="cpu")
     sd = blob.get("model", blob)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    if kind in ("vit", "vit_b16"):
+        # standard ViT-B/16 backbone for interactron_scaled; optional 4th
+        # arg: a reference DETR checkpoint whose transformer/head weights
+        # merge in alongside the ViT backbone
+        grid = int(sys.argv[5]) if len(sys.argv) > 5 else 19
+        tree = {"detector": {"backbone": convert_vit_b16(sd, grid=grid)}}
+        frozen = None
+        if len(sys.argv) > 4:
+            dblob = torch.load(sys.argv[4], map_location="cpu")
+            dsd = dblob.get("model", dblob)
+            dsd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in dsd.items()}
+            det_params, frozen = convert_detector(dsd)
+            det_params.pop("backbone", None)  # ViT replaces the CNN backbone
+            tree["detector"].update(det_params)
+        save_pytree(dst, {"params": tree, "frozen": frozen})
+        print(f"wrote {dst}")
+        return
     det_params, frozen = convert_detector(sd)
     tree = {"detector": det_params}
     if kind in ("interactron", "multiframe"):
