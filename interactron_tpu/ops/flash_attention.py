@@ -658,10 +658,34 @@ def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
 
 
 def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
-                    c_ref, l_ref, d_ref, ck_ref, cv_ref, *, t_real, scale,
-                    rate, n_q_blocks, bq, hd, g_sz):
+                    c_ref, l_ref, d_ref, ck_ref, cv_ref, *, scale,
+                    rate, hd, g_sz):
+    """One (k_block jk, q_block jq) tile of the c_k/c_v accumulation.
+
+    The q-block loop lives in the GRID (innermost dim), not in the kernel:
+    the output tile's index map ignores jq, so Pallas keeps the fp32
+    accumulator block resident in VMEM across all jq steps (the standard
+    revisiting pattern) and the per-q-block operands — q/dO/A rows and the
+    four (BQ, 1) row statistics — arrive as small pipelined windows. The
+    earlier whole-rows-in-one-program formulation OOMed Mosaic's 16M scoped
+    VMEM (20.56M at the production fusion shape): a (t_pad, 1) f32
+    statistics block physically pads its lane dim 1 -> 128, so L + the
+    packed D/g_D/s_gp channels alone cost 8 x 1.11M x double-buffering.
+
+    No padded-query-row masking: for a padded row q = dO = A = 0 and the
+    row stats are zero, so every contribution carries a zero factor —
+    g_S^T q, dS^T A (dS = p*(0-0)), g_dp^T dO — even though p itself is
+    nonzero (exp(0-L)) on those rows.
+    """
     i = pl.program_id(0)
     jk = pl.program_id(1)
+    jq = pl.program_id(2)
+
+    @pl.when(jq == 0)
+    def _init():
+        ck_ref[...] = jnp.zeros_like(ck_ref)
+        cv_ref[...] = jnp.zeros_like(cv_ref)
+
     cks = []
     cvs = []
     for g in range(g_sz):
@@ -671,62 +695,49 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
         Bg = bc_ref[0][:, sl]
         Cg = c_ref[0][:, sl]
         bk = kg.shape[0]
-        ck_acc = jnp.zeros((bk, hd), jnp.float32)
-        cv_acc = jnp.zeros((bk, hd), jnp.float32)
-        for jq in range(n_q_blocks):
-            qg = q_ref[0, pl.ds(jq * bq, bq), sl]
-            dog = do_ref[0, pl.ds(jq * bq, bq), sl]
-            Ag = a_ref[0, pl.ds(jq * bq, bq), sl]
-            L = l_ref[0, g, pl.ds(jq * bq, bq), :]
-            D = d_ref[0, g, pl.ds(jq * bq, bq), :]
-            mm = lambda x, y: jax.lax.dot_general(
-                x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            mt = lambda x, y: jax.lax.dot_general(
-                x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            logits = mm(qg, kg) * scale                 # (BQ, BK)
-            q_low = jq * bq
-            if q_low + bq > t_real:
-                row = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + q_low
-                logits = jnp.where(row < t_real, logits, _NEG)
-            p = jnp.exp(logits - L)
-            dp_raw = mm(dog, vg)
-            g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
-            g_Pd_raw = mm(dog, Cg)
-            if rate > 0.0:
-                keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jq, jk,
-                                  (bq, bk), rate)
-                inv = 1.0 / (1.0 - rate)
-                dp = jnp.where(keep, dp_raw * inv, 0.0)
-                g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
-            else:
-                keep = None
-                dp = dp_raw
-                g_P1 = g_Pd_raw
-            # NOTE: the row sums (D, g_D, softmax correction) span the FULL
-            # row, not this tile — they arrive via the D input and the
-            # GD/GPS row statistics precomputed by the row kernel would be
-            # needed... instead recompute them here is impossible per tile.
-            # The col kernel therefore receives the row-global statistics
-            # rowsum(P*g_dS) and rowsum(P*g_P) through d_ref's second and
-            # third channels (packed by the caller).
-            g_D = d_ref[0, g_sz + g, pl.ds(jq * bq, bq), :]
-            s_gp = d_ref[0, 2 * g_sz + g, pl.ds(jq * bq, bq), :]
-            dS = p * (dp - D)
-            g_P = g_P1 + g_dS * (dp - D) + g_D * dp
-            if rate > 0.0:
-                g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
-            else:
-                g_dp_raw = p * g_dS + g_D * p
-            g_S = p * (g_P - s_gp)
-            ck_acc += (mt(g_S.astype(qg.dtype), qg)
-                       + mt(dS.astype(Ag.dtype), Ag)) * scale
-            cv_acc += mt(g_dp_raw.astype(dog.dtype), dog)
-        cks.append(ck_acc)
-        cvs.append(cv_acc)
+        qg = q_ref[0][:, sl]       # (BQ, hd)
+        dog = do_ref[0][:, sl]
+        Ag = a_ref[0][:, sl]
+        L = l_ref[0, g]            # (BQ, 1)
+        D = d_ref[0, g]
+        # row-global sums rowsum(P*g_dS) and rowsum(P*g_P) span the FULL
+        # row, which this tile cannot form — they arrive precomputed by
+        # the row kernel through d_ref's second and third channels
+        g_D = d_ref[0, g_sz + g]
+        s_gp = d_ref[0, 2 * g_sz + g]
+        mm = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mt = lambda x, y: jax.lax.dot_general(
+            x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = mm(qg, kg) * scale                 # (BQ, BK)
+        p = jnp.exp(logits - L)
+        dp_raw = mm(dog, vg)
+        g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
+        g_Pd_raw = mm(dog, Cg)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jq, jk,
+                              (qg.shape[0], bk), rate)
+            inv = 1.0 / (1.0 - rate)
+            dp = jnp.where(keep, dp_raw * inv, 0.0)
+            g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
+        else:
+            keep = None
+            dp = dp_raw
+            g_P1 = g_Pd_raw
+        dS = p * (dp - D)
+        g_P = g_P1 + g_dS * (dp - D) + g_D * dp
+        if rate > 0.0:
+            g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
+        else:
+            g_dp_raw = p * g_dS + g_D * p
+        g_S = p * (g_P - s_gp)
+        cks.append((mt(g_S.astype(qg.dtype), qg)
+                    + mt(dS.astype(Ag.dtype), Ag)) * scale)
+        cvs.append(mt(g_dp_raw.astype(dog.dtype), dog))
     ck = cks[0] if g_sz == 1 else jnp.concatenate(cks, axis=1)
     cv = cvs[0] if g_sz == 1 else jnp.concatenate(cvs, axis=1)
-    ck_ref[0] = ck.astype(ck_ref.dtype)
-    cv_ref[0] = cv.astype(cv_ref.dtype)
+    ck_ref[0] = ck_ref[0] + ck
+    cv_ref[0] = cv_ref[0] + cv
 
 
 def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
@@ -790,31 +801,45 @@ def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
     # pack [D | g_D | s_gp] for the column kernel
     D_ext = jnp.concatenate([D, stats], axis=1)  # (b*ng, 3*g_sz, t_pad, 1)
 
-    grid_k = (b * ng, s_pad // bq)
+    # 3D grid: (head-group, k_block, q_block) with jq innermost. The output
+    # index maps ignore jq, so the fp32 accumulator tiles stay resident in
+    # VMEM across the whole q loop and are flushed to HBM once per k block.
+    q_blk = lambda: pl.BlockSpec(
+        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jq, i % ng),
+        memory_space=pltpu.VMEM)
+    k_blk = lambda: pl.BlockSpec(
+        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jk, i % ng),
+        memory_space=pltpu.VMEM)
+    stat_q = lambda c: pl.BlockSpec(
+        (1, c, bq, 1), lambda i, jk, jq: (i, 0, jq, 0), memory_space=pltpu.VMEM)
+    out_k = lambda: pl.BlockSpec(
+        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jk, i % ng),
+        memory_space=pltpu.VMEM)
+    grid_k = (b * ng, s_pad // bq, t_pad // bq)
     ck, cv = pl.pallas_call(
-        functools.partial(_sov_col_kernel, t_real=t, scale=scale, rate=rate,
-                          n_q_blocks=t_pad // bq, bq=bq, hd=hd, g_sz=g_sz),
+        functools.partial(_sov_col_kernel, scale=scale, rate=rate,
+                          hd=hd, g_sz=g_sz),
         out_shape=(
-            jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
-            jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
+            jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
         ),
         grid=grid_k,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            col_full(t_pad),        # q (full rows)
-            row_specs(),            # k block
-            row_specs(),            # v block
-            col_full(t_pad),        # do
-            col_full(t_pad),        # A
-            row_specs(),            # Bc block
-            row_specs(),            # C block
-            stat_full(g_sz),        # L (full)
-            stat_full(3 * g_sz),    # D_ext (full)
+            q_blk(),                # q rows for this jq
+            k_blk(),                # k block
+            k_blk(),                # v block
+            q_blk(),                # do
+            q_blk(),                # A
+            k_blk(),                # Bc block
+            k_blk(),                # C block
+            stat_q(g_sz),           # L rows for this jq
+            stat_q(3 * g_sz),       # D_ext rows for this jq
         ],
-        out_specs=(row_specs(), row_specs()),
+        out_specs=(out_k(), out_k()),
     )(seed, qf, kf, vf, dof, Af, Bf, Cf, L, D_ext)
 
-    return cq[:, :t], ck[:, :s], cv[:, :s], cdo[:, :t]
+    return cq[:, :t], ck[:, :s].astype(q.dtype), cv[:, :s].astype(q.dtype), cdo[:, :t]
 
 
 def _so_bq(t, s):

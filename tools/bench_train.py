@@ -20,7 +20,13 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--inner", type=int, default=1)
     ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--flash", action="store_true", default=True)
+    ap.add_argument(
+        "--flash",
+        default=True,
+        action=argparse.BooleanOptionalAction,
+        help="--no-flash routes attention through the materializing XLA path "
+        "(the MODEL.FLASH_ATTENTION production knob)",
+    )
     ap.add_argument("--chunked", action="store_true")
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--config", default="configs/interactron.yaml")
@@ -40,6 +46,9 @@ def main():
 
     set_flash_attention(args.flash)
     cfg = get_config(args.config)
+    # go through the production knob: task build re-derives the kernel gate
+    # from MODEL.FLASH_ATTENTION (tasks/base.py), so --no-flash must say so
+    setattr(cfg.MODEL, "FLASH_ATTENTION", bool(args.flash))
     cfg.TRAINER.INNER_BATCH = args.inner
     task = InteractronTask(cfg)
     task.inner_batch = args.inner
