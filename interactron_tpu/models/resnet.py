@@ -95,6 +95,11 @@ class ResNet50DC5(nn.Module):
 
         if stage in ("all", "prefix"):
             # frozen stem + layer1
+            # NOTE: Conv2d(space_to_depth=True) exists for this conv (the
+            # 3-channel contraction runs at ~14 TF/s) but measured 9% SLOWER
+            # end-to-end on chip (89.0 vs 98.3 eps/s predict, round 3): the
+            # 2x2 regroup transpose costs more than the deeper contraction
+            # saves. Direct conv stays the production path.
             x = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, dtype=self.dtype, name="conv1")(x)
             x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
             x = nn.relu(x)

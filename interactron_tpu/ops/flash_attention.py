@@ -41,15 +41,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 256
+BLOCK_Q = 128
 _NEG = -1e30
 
 
 def _block_q(t):
-    """Row-block size: 256 for the fusion-sized problems (measured equal to
-    128-blocks' 11%-smaller padded area — the deeper pipeline wins it back),
-    128 for T<=512 where a 256 block would mostly be padding."""
-    return BLOCK_Q if t > 512 else 128
+    """Row-block size. 128 everywhere: at the fusion size (T=2060) the
+    11%-smaller padded area beats 256-blocks' deeper pipeline on chip
+    (98.3 vs 97.3 eps/s predict, round 3); at T<=512 a 256 block would
+    mostly be padding anyway. FLASH_BLOCK_Q overrides for sweeps."""
+    import os
+
+    env = os.environ.get("FLASH_BLOCK_Q")
+    if env:
+        return int(env)
+    return BLOCK_Q
 
 
 def _group(h, hd):

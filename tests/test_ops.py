@@ -123,3 +123,4 @@ def test_nms_respects_valid_mask():
     valid = jnp.asarray([False, True, True])
     idx = nms_indices(boxes, scores, 0.5, valid=valid)
     assert list(idx) == [1, 2]
+

@@ -144,3 +144,28 @@ def test_bottleneck_matches_torch(stride, dilation, downsample):
     np.testing.assert_allclose(
         np.asarray(out_j).transpose(0, 3, 1, 2), out_t, atol=3e-5
     )
+
+
+def test_stem_space_to_depth_matches_direct_conv():
+    """The s2d execution of the 7x7/s2/p3 stem conv (Conv2d.space_to_depth)
+    must equal the direct convolution — same weights, same variable layout,
+    only the schedule differs (reference stem: torchvision resnet conv1,
+    detr_models/backbone.py:82-92)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 60, 60, 3).astype(np.float32))
+    direct = Conv2d(64, (7, 7), (2, 2), 3, frozen=True)
+    s2d = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, space_to_depth=True)
+    var = direct.init(jax.random.PRNGKey(1), x)
+    y_direct = direct.apply(var, x)
+    y_s2d = s2d.apply(var, x)
+    assert y_s2d.shape == y_direct.shape == (2, 30, 30, 64)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_direct), atol=2e-5, rtol=1e-5
+    )
+
+    # torch cross-check on the same weights
+    w = np.asarray(var["frozen"]["kernel"])  # HWIO
+    xt = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+    yt = tF.conv2d(xt, wt, stride=2, padding=3).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(y_s2d), yt, atol=2e-5, rtol=1e-5)
