@@ -35,6 +35,7 @@ per-lowering through the axon tunnel).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -665,18 +666,23 @@ def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
 
 def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
                     c_ref, l_ref, d_ref, ck_ref, cv_ref, *, scale,
-                    rate, hd, g_sz):
-    """One (k_block jk, q_block jq) tile of the c_k/c_v accumulation.
+                    rate, bq, ch, hd, g_sz):
+    """One (k_block jk, q-block-CHUNK jc) tile of the c_k/c_v accumulation.
 
-    The q-block loop lives in the GRID (innermost dim), not in the kernel:
-    the output tile's index map ignores jq, so Pallas keeps the fp32
-    accumulator block resident in VMEM across all jq steps (the standard
-    revisiting pattern) and the per-q-block operands — q/dO/A rows and the
-    four (BQ, 1) row statistics — arrive as small pipelined windows. The
-    earlier whole-rows-in-one-program formulation OOMed Mosaic's 16M scoped
-    VMEM (20.56M at the production fusion shape): a (t_pad, 1) f32
-    statistics block physically pads its lane dim 1 -> 128, so L + the
-    packed D/g_D/s_gp channels alone cost 8 x 1.11M x double-buffering.
+    The q loop is split between the GRID (chunk index jc, innermost dim) and
+    an in-kernel loop over the ch q-blocks of the chunk. Both extremes
+    measured bad at the production fusion shape:
+      * whole rows in one program OOMs Mosaic's 16M scoped VMEM (20.56M):
+        a (t_pad, 1) f32 statistics block physically pads its lane dim
+        1 -> 128, so L + the packed D/g_D/s_gp channels alone cost
+        8 x 1.11M x double-buffering;
+      * one q-block per grid step (ch=1) serializes the pipeline through
+        the output read-modify-write chain — each step carries ~1.8 us of
+        dependency stall around ~0.4 us of MXU work (11.0 ms/call, vs
+        3.3 ms for the comparable dkv kernel).
+    ch q-blocks per step amortize the revisit chain while the stat windows
+    stay bounded; the output tile's index map ignores jc, so the fp32
+    accumulators stay VMEM-resident across the whole chunk sweep.
 
     No padded-query-row masking: for a padded row q = dO = A = 0 and the
     row stats are zero, so every contribution carries a zero factor —
@@ -685,13 +691,17 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
     """
     i = pl.program_id(0)
     jk = pl.program_id(1)
-    jq = pl.program_id(2)
+    jc = pl.program_id(2)
 
-    @pl.when(jq == 0)
+    @pl.when(jc == 0)
     def _init():
         ck_ref[...] = jnp.zeros_like(ck_ref)
         cv_ref[...] = jnp.zeros_like(cv_ref)
 
+    mm = lambda x, y: jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    mt = lambda x, y: jax.lax.dot_general(
+        x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     cks = []
     cvs = []
     for g in range(g_sz):
@@ -701,45 +711,50 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
         Bg = bc_ref[0][:, sl]
         Cg = c_ref[0][:, sl]
         bk = kg.shape[0]
-        qg = q_ref[0][:, sl]       # (BQ, hd)
-        dog = do_ref[0][:, sl]
-        Ag = a_ref[0][:, sl]
-        L = l_ref[0, g]            # (BQ, 1)
-        D = d_ref[0, g]
-        # row-global sums rowsum(P*g_dS) and rowsum(P*g_P) span the FULL
-        # row, which this tile cannot form — they arrive precomputed by
-        # the row kernel through d_ref's second and third channels
-        g_D = d_ref[0, g_sz + g]
-        s_gp = d_ref[0, 2 * g_sz + g]
-        mm = lambda x, y: jax.lax.dot_general(
-            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        mt = lambda x, y: jax.lax.dot_general(
-            x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        logits = mm(qg, kg) * scale                 # (BQ, BK)
-        p = jnp.exp(logits - L)
-        dp_raw = mm(dog, vg)
-        g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
-        g_Pd_raw = mm(dog, Cg)
-        if rate > 0.0:
-            keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jq, jk,
-                              (qg.shape[0], bk), rate)
-            inv = 1.0 / (1.0 - rate)
-            dp = jnp.where(keep, dp_raw * inv, 0.0)
-            g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
-        else:
-            keep = None
-            dp = dp_raw
-            g_P1 = g_Pd_raw
-        dS = p * (dp - D)
-        g_P = g_P1 + g_dS * (dp - D) + g_D * dp
-        if rate > 0.0:
-            g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
-        else:
-            g_dp_raw = p * g_dS + g_D * p
-        g_S = p * (g_P - s_gp)
-        cks.append((mt(g_S.astype(qg.dtype), qg)
-                    + mt(dS.astype(Ag.dtype), Ag)) * scale)
-        cvs.append(mt(g_dp_raw.astype(dog.dtype), dog))
+        ck_acc = None
+        cv_acc = None
+        for u in range(ch):
+            rows = pl.ds(u * bq, bq)
+            qg = q_ref[0, rows, sl]        # (BQ, hd)
+            dog = do_ref[0, rows, sl]
+            Ag = a_ref[0, rows, sl]
+            L = l_ref[0, g, rows, :]       # (BQ, 1)
+            D = d_ref[0, g, rows, :]
+            # row-global sums rowsum(P*g_dS) and rowsum(P*g_P) span the
+            # FULL row, which this tile cannot form — they arrive
+            # precomputed by the row kernel through d_ref's extra channels
+            g_D = d_ref[0, g_sz + g, rows, :]
+            s_gp = d_ref[0, 2 * g_sz + g, rows, :]
+            logits = mm(qg, kg) * scale                 # (BQ, BK)
+            p = jnp.exp(logits - L)
+            dp_raw = mm(dog, vg)
+            g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
+            g_Pd_raw = mm(dog, Cg)
+            if rate > 0.0:
+                # the dropout counter is keyed by the GLOBAL q-block index
+                keep = _keep_mask(seed_ref[0, 0], i * g_sz + g, jc * ch + u,
+                                  jk, (qg.shape[0], bk), rate)
+                inv = 1.0 / (1.0 - rate)
+                dp = jnp.where(keep, dp_raw * inv, 0.0)
+                g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
+            else:
+                keep = None
+                dp = dp_raw
+                g_P1 = g_Pd_raw
+            dS = p * (dp - D)
+            g_P = g_P1 + g_dS * (dp - D) + g_D * dp
+            if rate > 0.0:
+                g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
+            else:
+                g_dp_raw = p * g_dS + g_D * p
+            g_S = p * (g_P - s_gp)
+            ck_u = (mt(g_S.astype(qg.dtype), qg)
+                    + mt(dS.astype(Ag.dtype), Ag)) * scale
+            cv_u = mt(g_dp_raw.astype(dog.dtype), dog)
+            ck_acc = ck_u if ck_acc is None else ck_acc + ck_u
+            cv_acc = cv_u if cv_acc is None else cv_acc + cv_u
+        cks.append(ck_acc)
+        cvs.append(cv_acc)
     ck = cks[0] if g_sz == 1 else jnp.concatenate(cks, axis=1)
     cv = cvs[0] if g_sz == 1 else jnp.concatenate(cvs, axis=1)
     ck_ref[0] = ck_ref[0] + ck
@@ -807,24 +822,38 @@ def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
     # pack [D | g_D | s_gp] for the column kernel
     D_ext = jnp.concatenate([D, stats], axis=1)  # (b*ng, 3*g_sz, t_pad, 1)
 
-    # 3D grid: (head-group, k_block, q_block) with jq innermost. The output
-    # index maps ignore jq, so the fp32 accumulator tiles stay resident in
-    # VMEM across the whole q loop and are flushed to HBM once per k block.
+    # 3D grid: (head-group, k_block, q CHUNK of ch blocks) with jc innermost.
+    # The output index maps ignore jc, so the fp32 accumulator tiles stay
+    # resident in VMEM across the whole q sweep and flush to HBM once per k
+    # block; ch q-blocks per step amortize the accumulate chain (see the
+    # kernel docstring). The q side re-pads to a ch*bq multiple — the extra
+    # all-padding blocks contribute exact zeros.
+    ch = int(os.environ.get("SO_COL_CHUNK", "6"))
+    n_q = t_pad // bq
+    ch = min(ch, n_q)
+    t_pad_c = -(-n_q // ch) * ch * bq
+    if t_pad_c != t_pad:
+        pad4 = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, t_pad_c - t_pad), (0, 0)))
+        qc, doc, Ac = (_pad_t(x, t_pad_c) for x in (qf, dof, Af))
+        Lc, Dc = pad4(L), pad4(D_ext)
+    else:
+        qc, doc, Ac, Lc, Dc = qf, dof, Af, L, D_ext
     q_blk = lambda: pl.BlockSpec(
-        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jq, i % ng),
+        (1, ch * bq, lanes), lambda i, jk, jc, ng=ng: (i // ng, jc, i % ng),
         memory_space=pltpu.VMEM)
     k_blk = lambda: pl.BlockSpec(
-        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jk, i % ng),
+        (1, bq, lanes), lambda i, jk, jc, ng=ng: (i // ng, jk, i % ng),
         memory_space=pltpu.VMEM)
     stat_q = lambda c: pl.BlockSpec(
-        (1, c, bq, 1), lambda i, jk, jq: (i, 0, jq, 0), memory_space=pltpu.VMEM)
-    out_k = lambda: pl.BlockSpec(
-        (1, bq, lanes), lambda i, jk, jq, ng=ng: (i // ng, jk, i % ng),
+        (1, c, ch * bq, 1), lambda i, jk, jc: (i, 0, jc, 0),
         memory_space=pltpu.VMEM)
-    grid_k = (b * ng, s_pad // bq, t_pad // bq)
+    out_k = lambda: pl.BlockSpec(
+        (1, bq, lanes), lambda i, jk, jc, ng=ng: (i // ng, jk, i % ng),
+        memory_space=pltpu.VMEM)
+    grid_k = (b * ng, s_pad // bq, t_pad_c // (ch * bq))
     ck, cv = pl.pallas_call(
         functools.partial(_sov_col_kernel, scale=scale, rate=rate,
-                          hd=hd, g_sz=g_sz),
+                          bq=bq, ch=ch, hd=hd, g_sz=g_sz),
         out_shape=(
             jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
             jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
@@ -832,18 +861,18 @@ def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
         grid=grid_k,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            q_blk(),                # q rows for this jq
+            q_blk(),                # q rows for this chunk
             k_blk(),                # k block
             k_blk(),                # v block
             q_blk(),                # do
             q_blk(),                # A
             k_blk(),                # Bc block
             k_blk(),                # C block
-            stat_q(g_sz),           # L rows for this jq
-            stat_q(3 * g_sz),       # D_ext rows for this jq
+            stat_q(g_sz),           # L rows for this chunk
+            stat_q(3 * g_sz),       # D_ext rows for this chunk
         ],
         out_specs=(out_k(), out_k()),
-    )(seed, qf, kf, vf, dof, Af, Bf, Cf, L, D_ext)
+    )(seed, qc, kf, vf, doc, Ac, Bf, Cf, Lc, Dc)
 
     return cq[:, :t], ck[:, :s].astype(q.dtype), cv[:, :s].astype(q.dtype), cdo[:, :t]
 
