@@ -68,14 +68,6 @@ def _group(h, hd):
     return g
 
 
-def _mask_cols(logits, real):
-    pad = logits.shape[-1]
-    if pad != real:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < real, logits, _NEG)
-    return logits
-
-
 def _keep_mask(seed_val, ih, jq, jk, shape, rate):
     """Counter-based dropout keep-mask for the (q_block jq, k_block jk) tile
     of head ih: the same (seed, ih, jq, jk) always regenerates the same
@@ -144,7 +136,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref, *, s_real, scale,
 
 
 def _dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dq_ref, *,
-               s_real, scale, rate, n_k_blocks, hd, g_sz):
+               scale, rate, n_k_blocks, hd, g_sz):
     i = pl.program_id(0)
     j = pl.program_id(1)
     # no column masking needed anywhere here: padded K ROWS are zero, so
@@ -336,7 +328,7 @@ def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
 
     grid_q = (b * ng, t_pad // bq)
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, s_real=s, scale=scale, rate=rate,
+        functools.partial(_dq_kernel, scale=scale, rate=rate,
                           n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
         grid=grid_q,
@@ -602,14 +594,26 @@ SO_BLOCK_Q = 128  # fp32 (bq, S) tile working set caps the row kernel
 
 def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
                     c_ref, l_ref, d_ref, cq_ref, cdo_ref, stats_ref, *,
-                    s_real, scale, rate, n_k_blocks, hd, g_sz):
+                    scale, rate, n_k_blocks, hd, g_sz):
     i = pl.program_id(0)
     j = pl.program_id(1)
     cqs = []
     cdos = []
     for g in range(g_sz):
         sl = slice(g * hd, (g + 1) * hd)
+        # VPU-pass economy on the (BQ, S) tiles (the kernel is VPU-bound,
+        # not MXU-bound — ~17 elementwise f32 passes per tile originally):
+        #   * q pre-scaled ONCE on its (BQ, hd) slice with scale*log2(e)
+        #     folded in, so the (BQ, S) logits never see a scale pass and
+        #     exp becomes exp2 for free (L converts on its (BQ, 1) column);
+        #   * NO padded-column masking: every padded-column value only ever
+        #     contracts against zero-padded k-side operands (k, v, Bc, C)
+        #     or enters the row sums with a zero factor — g_dS, dp and
+        #     g_P1 all vanish there because kg = vg = Bg = Cg = 0;
+        #   * e = dp - D computed once (dS and g_P share it), and
+        #     g_dp = p*(g_dS + g_D) instead of p*g_dS + g_D*p.
         qg = q_ref[0][:, sl]
+        qs = qg * (scale * 1.4426950408889634)
         kg = k_ref[0][:, sl]
         vg = v_ref[0][:, sl]
         dog = do_ref[0][:, sl]
@@ -622,9 +626,8 @@ def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
             x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         mn = lambda x, y: jax.lax.dot_general(
             x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        logits = mm(qg, kg) * scale
-        logits = _mask_cols(logits, s_real)
-        p = jnp.exp(logits - L)                       # (BQ, S)
+        logits = mm(qs, kg)
+        p = jnp.exp2(logits - L * 1.4426950408889634)  # (BQ, S)
         dp_raw = mm(dog, vg)
         g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
         g_Pd_raw = mm(dog, Cg)
@@ -641,10 +644,11 @@ def _sov_row_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
             dp = dp_raw
             g_P1 = g_Pd_raw
             pd = p
-        dS = p * (dp - D)
+        e = dp - D
+        dS = p * e
         g_D = -jnp.sum(p * g_dS, axis=-1, keepdims=True)   # (BQ, 1)
-        g_P = g_P1 + g_dS * (dp - D) + g_D * dp
-        g_dpm = p * g_dS + g_D * p
+        g_P = g_P1 + g_dS * e + g_D * dp
+        g_dpm = p * (g_dS + g_D)
         if rate > 0.0:
             g_dp_raw = jnp.where(keep, g_dpm / (1.0 - rate), 0.0)
         else:
@@ -715,7 +719,10 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
         cv_acc = None
         for u in range(ch):
             rows = pl.ds(u * bq, bq)
-            qg = q_ref[0, rows, sl]        # (BQ, hd)
+            # same VPU-pass economy as the row kernel: pre-scaled q for
+            # exp2 logits, e = dp - D shared, g_dp = p*(g_dS + g_D)
+            qg = q_ref[0, rows, sl]        # (BQ, hd) — raw: g_S^T q needs it
+            qs = qg * (scale * 1.4426950408889634)
             dog = do_ref[0, rows, sl]
             Ag = a_ref[0, rows, sl]
             L = l_ref[0, g, rows, :]       # (BQ, 1)
@@ -725,8 +732,8 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
             # precomputed by the row kernel through d_ref's extra channels
             g_D = d_ref[0, g_sz + g, rows, :]
             s_gp = d_ref[0, 2 * g_sz + g, rows, :]
-            logits = mm(qg, kg) * scale                 # (BQ, BK)
-            p = jnp.exp(logits - L)
+            logits = mm(qs, kg)                         # (BQ, BK)
+            p = jnp.exp2(logits - L * 1.4426950408889634)
             dp_raw = mm(dog, vg)
             g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
             g_Pd_raw = mm(dog, Cg)
@@ -741,12 +748,14 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
                 keep = None
                 dp = dp_raw
                 g_P1 = g_Pd_raw
-            dS = p * (dp - D)
-            g_P = g_P1 + g_dS * (dp - D) + g_D * dp
+            e = dp - D
+            dS = p * e
+            g_P = g_P1 + g_dS * e + g_D * dp
+            g_dpm = p * (g_dS + g_D)
             if rate > 0.0:
-                g_dp_raw = jnp.where(keep, (p * g_dS + g_D * p) / (1.0 - rate), 0.0)
+                g_dp_raw = jnp.where(keep, g_dpm / (1.0 - rate), 0.0)
             else:
-                g_dp_raw = p * g_dS + g_D * p
+                g_dp_raw = g_dpm
             g_S = p * (g_P - s_gp)
             ck_u = (mt(g_S.astype(qg.dtype), qg)
                     + mt(dS.astype(Ag.dtype), Ag)) * scale
@@ -796,7 +805,7 @@ def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
 
     grid_q = (b * ng, t_pad // bq)
     cq, cdo, stats = pl.pallas_call(
-        functools.partial(_sov_row_kernel, s_real=s, scale=scale, rate=rate,
+        functools.partial(_sov_row_kernel, scale=scale, rate=rate,
                           n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
