@@ -8,6 +8,7 @@ optimizer and the meta inner loop by construction (utils/meta_utils.py:5-24
 walks only requires_grad params; backbone.py:61-63 freezes stem + layer1).
 """
 
+import contextlib
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import jax
@@ -33,6 +34,26 @@ _USE_IM2COL = False
 def set_im2col_conv(enabled: bool):
     global _USE_IM2COL
     _USE_IM2COL = bool(enabled)
+
+
+@contextlib.contextmanager
+def im2col_convs():
+    """Trace-time scope: express trainable k>1 convs as im2col GEMMs inside
+    this context only. Used around the detector passes whose conv KERNELS
+    are per-episode (the adapted fast-weight passes of the meta step):
+    there a lax conv lowers to a batch-grouped convolution (~20 TF/s
+    profiled at the 19x19x512 shapes) while the im2col batched GEMM rides
+    the MXU. Shared-weight passes keep the direct conv — applying im2col
+    globally measured 38 vs 91 eps/s (patch HBM traffic dominates when the
+    grouped lowering isn't the alternative). Plain differentiable jnp, so
+    any AD order is fine."""
+    global _USE_IM2COL
+    prev = _USE_IM2COL
+    _USE_IM2COL = True
+    try:
+        yield
+    finally:
+        _USE_IM2COL = prev
 
 
 class Conv2d(nn.Module):

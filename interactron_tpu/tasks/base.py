@@ -100,13 +100,22 @@ class TaskModel:
 
         flash_default = jax.default_backend() == "tpu"
         set_flash_attention(bool(m.get("FLASH_ATTENTION", flash_default)))
-        # im2col conv formulation (models/layers.py): candidate for the
-        # per-episode adapted conv kernels; measured SLOWER for the full
-        # predict step when applied to every trainable conv (38 vs 91
-        # eps/s — the grouped-conv patch extraction dominates), so opt-in.
+        # im2col conv formulation (models/layers.py): measured SLOWER for
+        # the full predict step when applied to EVERY trainable conv (38 vs
+        # 91 eps/s — the patch HBM traffic dominates), so global use stays
+        # opt-in...
         from interactron_tpu.models.layers import set_im2col_conv
 
         set_im2col_conv(bool(m.get("IM2COL_CONV", False)))
+        # ...and scoping it to ONLY the adapted fast-weight passes
+        # (per-episode conv kernels, which lower to ~20 TF/s batch-grouped
+        # convolutions) also measured slower on v5e: predict 97.1 vs 101.4
+        # (frame-0 detect) and train 13.8 vs 24.4 eps/s (supervisor +
+        # detector passes) — the 9x patch HBM traffic and its backward
+        # transpose cost more than the grouped lowering. The scope hook
+        # (layers.im2col_convs(), MODEL.ADAPTED_IM2COL) stays for future
+        # hardware where the balance differs.
+        self.adapted_im2col = bool(m.get("ADAPTED_IM2COL", False))
 
     # ------------------------------------------------------------------ init
 

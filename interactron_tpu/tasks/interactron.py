@@ -122,10 +122,16 @@ class InteractronRandomTask(TaskModel):
         fast2 = merge_inner(
             clipped_sgd_step(adapted_base, g, self.adaptive_lr), static_c
         )
-        post = self.detr_apply(
-            fast2, frozen, prefix, deterministic=not train, rng=k3,
-            stage="from_prefix", remat=train,
-        )
+        from interactron_tpu.models.layers import im2col_convs
+
+        # fast-weight passes: conv kernels are per-episode under the vmap,
+        # so the direct conv lowers to TPU-hostile batch-grouped
+        # convolutions — run them as im2col GEMMs instead
+        with im2col_convs() if self.adapted_im2col else _nullcontext():
+            post = self.detr_apply(
+                fast2, frozen, prefix, deterministic=not train, rng=k3,
+                stage="from_prefix", remat=train,
+            )
         targets = {"labels": ep["labels"], "boxes": ep["boxes"], "valid": ep["valid"]}
         sup_losses = self.criterion(
             {"pred_logits": post["pred_logits"], "pred_boxes": post["pred_boxes"]},
@@ -159,10 +165,11 @@ class InteractronRandomTask(TaskModel):
         tgt_r = {
             k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
         }
-        det_out = self.detr_apply(
-            fast1, frozen, fr, deterministic=not train, rng=k4,
-            stage="from_prefix", remat=train,
-        )
+        with im2col_convs() if self.adapted_im2col else _nullcontext():
+            det_out = self.detr_apply(
+                fast1, frozen, fr, deterministic=not train, rng=k4,
+                stage="from_prefix", remat=train,
+            )
         det_losses = self.criterion(
             {"pred_logits": det_out["pred_logits"], "pred_boxes": det_out["pred_boxes"]}, tgt_r
         )
@@ -327,6 +334,10 @@ class InteractronRandomTask(TaskModel):
             clipped_sgd_step(adapted_p, g, self.adaptive_lr, dtype=self.inner_dtype),
             static_c,
         )
+        # NOTE: no im2col here — the adapted frame-0 detect measured FASTER
+        # as a grouped conv (101.4 vs 97.1 eps/s predict): at 1-frame sizes
+        # the patch HBM traffic outweighs the grouped lowering's low MXU
+        # utilization. The 5-frame train passes are gated separately.
         out0 = self.detr_apply(fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix")
         return {
             "pred_logits": out0["pred_logits"][None],
