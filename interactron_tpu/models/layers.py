@@ -56,6 +56,34 @@ def im2col_convs():
         _USE_IM2COL = prev
 
 
+# Express per-episode (fast-weight) stride-1 3x3 convs as 9 shifted batched
+# GEMMs. Scoped like im2col_convs; see episode_shift_convs().
+_USE_SHIFT9 = False
+
+
+@contextlib.contextmanager
+def episode_shift_convs():
+    """Trace-time scope: run trainable stride-1 3x3 convs as 9 shifted
+    x-slices contracted against w[dy, dx] (a sum of batched GEMMs). Used
+    around the detector passes whose conv KERNELS are per-episode (the
+    adapted fast-weight passes): there a lax conv lowers to a batch-grouped
+    convolution PLUS a physical per-episode weight transpose on the critical
+    path (profiled 0.31 ms/block just transposing layer4's (E,3,3,512,512)
+    fast kernels in the 1-frame adapted detect). The shifted-GEMM form needs
+    no weight transform at all — w[dy, dx] is a contiguous (E, Ci, Co) slice
+    — and measured 3.2x faster at the F=1 layer4 shape (0.126 vs 0.404 ms,
+    tools/bench_econv.py). Strided 3x3 convs keep the grouped conv (the
+    strided x-slices made shift9 ~2.4x slower there). Plain differentiable
+    jnp, so any AD order is fine."""
+    global _USE_SHIFT9
+    prev = _USE_SHIFT9
+    _USE_SHIFT9 = True
+    try:
+        yield
+    finally:
+        _USE_SHIFT9 = prev
+
+
 class Conv2d(nn.Module):
     """NHWC conv with torch-style explicit padding and an optional `frozen`
     flag that routes the kernel into the `frozen` collection."""
@@ -103,6 +131,30 @@ class Conv2d(nn.Module):
                 xs.astype(self.dtype),
                 kernel[0, 0].astype(self.dtype),
             )
+        elif (
+            _USE_SHIFT9
+            and not self.frozen
+            and self.kernel_size == (3, 3)
+            and self.strides == (1, 1)
+            and pad == ((self.dilation[0],) * 2, (self.dilation[1],) * 2)
+        ):
+            # 9 shifted GEMMs; partial sums stay f32 (the direct conv also
+            # accumulates f32 internally)
+            dh, dw = self.dilation
+            hh, ww = x.shape[1], x.shape[2]
+            xd = x.astype(self.dtype)
+            xp = jnp.pad(xd, ((0, 0), (dh, dh), (dw, dw), (0, 0)))
+            kd = kernel.astype(self.dtype)
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    xs = xp[:, dy * dh : dy * dh + hh, dx * dw : dx * dw + ww, :]
+                    t = jax.lax.dot_general(
+                        xs, kd[dy, dx], (((3,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = t if acc is None else acc + t
+            y = acc.astype(self.dtype)
         elif _USE_IM2COL and not self.frozen:
             # patches feature order is (C, kh, kw) — verified against the
             # direct conv; kernel transposes to match

@@ -20,9 +20,12 @@ _FLASH_SUPPRESSED = False
 _USE_CHUNKED = False
 _CHUNK_BLOCK = 256
 # dispatch thresholds (module-level so tests can lower them to exercise the
-# kernel paths on tiny shapes)
-_FLASH_MIN_HD = 64
-_FLASH_MIN_S = 1024
+# kernel paths on tiny shapes; FLASH_MIN_HD/FLASH_MIN_S env vars override
+# for on-chip sweeps, like FLASH_BLOCK_Q in ops/flash_attention.py)
+import os as _os
+
+_FLASH_MIN_HD = int(_os.environ.get("FLASH_MIN_HD", 64))
+_FLASH_MIN_S = int(_os.environ.get("FLASH_MIN_S", 1024))
 
 
 def set_flash_attention(enabled: bool):

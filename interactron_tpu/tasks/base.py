@@ -116,6 +116,26 @@ class TaskModel:
         # (layers.im2col_convs(), MODEL.ADAPTED_IM2COL) stays for future
         # hardware where the balance differs.
         self.adapted_im2col = bool(m.get("ADAPTED_IM2COL", False))
+        # Shifted-GEMM formulation for the same fast-weight passes
+        # (layers.episode_shift_convs): stride-1 3x3 convs become 9 shifted
+        # batched GEMMs, eliminating XLA's per-episode weight transpose +
+        # grouped-conv lowering (3.2x at the F=1 layer4 shape,
+        # tools/bench_econv.py). Default ON; MODEL.SHIFT_CONV=False reverts
+        # to the grouped lowering, ADAPTED_IM2COL (if set) takes precedence.
+        self.adapted_shift9 = bool(m.get("SHIFT_CONV", True)) and not self.adapted_im2col
+
+    def _econv_scope(self):
+        """Context manager for the fast-weight detector passes (per-episode
+        conv kernels): the measured-best conv formulation on this backend."""
+        from interactron_tpu.models.layers import episode_shift_convs, im2col_convs
+
+        if self.adapted_im2col:
+            return im2col_convs()
+        if self.adapted_shift9:
+            return episode_shift_convs()
+        import contextlib
+
+        return contextlib.nullcontext()
 
     # ------------------------------------------------------------------ init
 

@@ -122,12 +122,11 @@ class InteractronRandomTask(TaskModel):
         fast2 = merge_inner(
             clipped_sgd_step(adapted_base, g, self.adaptive_lr), static_c
         )
-        from interactron_tpu.models.layers import im2col_convs
-
         # fast-weight passes: conv kernels are per-episode under the vmap,
-        # so the direct conv lowers to TPU-hostile batch-grouped
-        # convolutions — run them as im2col GEMMs instead
-        with im2col_convs() if self.adapted_im2col else _nullcontext():
+        # so the direct conv lowers to a batch-grouped convolution plus a
+        # per-episode weight transpose — the scope swaps in the measured-best
+        # formulation (shifted GEMMs by default, tasks/base.py::_econv_scope)
+        with self._econv_scope():
             post = self.detr_apply(
                 fast2, frozen, prefix, deterministic=not train, rng=k3,
                 stage="from_prefix", remat=train,
@@ -165,7 +164,7 @@ class InteractronRandomTask(TaskModel):
         tgt_r = {
             k: jax.lax.dynamic_slice_in_dim(v, ridx, 1, axis=0) for k, v in targets.items()
         }
-        with im2col_convs() if self.adapted_im2col else _nullcontext():
+        with self._econv_scope():
             det_out = self.detr_apply(
                 fast1, frozen, fr, deterministic=not train, rng=k4,
                 stage="from_prefix", remat=train,
@@ -334,11 +333,13 @@ class InteractronRandomTask(TaskModel):
             clipped_sgd_step(adapted_p, g, self.adaptive_lr, dtype=self.inner_dtype),
             static_c,
         )
-        # NOTE: no im2col here — the adapted frame-0 detect measured FASTER
-        # as a grouped conv (101.4 vs 97.1 eps/s predict): at 1-frame sizes
-        # the patch HBM traffic outweighs the grouped lowering's low MXU
-        # utilization. The 5-frame train passes are gated separately.
-        out0 = self.detr_apply(fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix")
+        # fast-weight frame-0 detect: shifted-GEMM conv scope (im2col here
+        # measured SLOWER, 97.1 vs 101.4 — patch HBM traffic — but shift9
+        # measured 3.2x faster than the grouped conv at this F=1 shape)
+        with self._econv_scope():
+            out0 = self.detr_apply(
+                fast, frozen, prefix[0:1], deterministic=True, stage="from_prefix"
+            )
         return {
             "pred_logits": out0["pred_logits"][None],
             "pred_boxes": out0["pred_boxes"][None],
