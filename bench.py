@@ -59,6 +59,8 @@ def build(flash):
     # path is exactly what a real run executes.
     cfg = get_config(CONFIG)
     setattr(cfg.MODEL, "FLASH_ATTENTION", flash)
+    if os.environ.get("BENCH_INNER_SHIFT"):
+        setattr(cfg.MODEL, "INNER_SHIFT_CONV", True)
     task = InteractronTask(cfg)
     params, frozen = task.init(jax.random.PRNGKey(0))
 

@@ -100,6 +100,14 @@ class TaskModel:
 
         flash_default = jax.default_backend() == "tpu"
         set_flash_attention(bool(m.get("FLASH_ATTENTION", flash_default)))
+        # Dropout-mask PRNG: threefry2x32 (jax's default) computes the
+        # stream on the VPU — profiled 21.9 ms/step of `lt`+threefry work
+        # just generating the (5,8,361,361) DETR attention masks at
+        # inner_batch=4. The TPU hardware RNG ("rbg") generates the same
+        # masks ~10x cheaper; dropout needs no cryptographic stream. Still
+        # fully deterministic given the seed. MODEL.PRNG_IMPL overrides.
+        impl = str(m.get("PRNG_IMPL", "rbg" if flash_default else "threefry2x32"))
+        jax.config.update("jax_default_prng_impl", impl)
         # im2col conv formulation (models/layers.py): measured SLOWER for
         # the full predict step when applied to EVERY trainable conv (38 vs
         # 91 eps/s — the patch HBM traffic dominates), so global use stays
@@ -123,6 +131,12 @@ class TaskModel:
         # tools/bench_econv.py). Default ON; MODEL.SHIFT_CONV=False reverts
         # to the grouped lowering, ADAPTED_IM2COL (if set) takes precedence.
         self.adapted_shift9 = bool(m.get("SHIFT_CONV", True)) and not self.adapted_im2col
+        # Experiment knob: also trace the INNER (pre-adaptation) pass with
+        # shifted-GEMM convs. The inner pass has shared weights, but its
+        # derivative chain is where the remaining batch-grouped convolutions
+        # live (per-episode dW outputs bf16[3,3,512,E,512] profiled in the
+        # train step) — as GEMMs every AD order stays a batched dot.
+        self.inner_shift9 = bool(m.get("INNER_SHIFT_CONV", False))
 
     def _econv_scope(self):
         """Context manager for the fast-weight detector passes (per-episode
@@ -132,6 +146,17 @@ class TaskModel:
         if self.adapted_im2col:
             return im2col_convs()
         if self.adapted_shift9:
+            return episode_shift_convs()
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def _inner_conv_scope(self):
+        """Conv formulation for the inner (pre-adaptation) detector pass —
+        shifted GEMMs when MODEL.INNER_SHIFT_CONV is set (see __init__)."""
+        from interactron_tpu.models.layers import episode_shift_convs
+
+        if self.inner_shift9:
             return episode_shift_convs()
         import contextlib
 

@@ -107,10 +107,11 @@ class InteractronRandomTask(TaskModel):
 
             dp = merge_inner(a, static_c)
             with flash_disabled() if train else _nullcontext():
-                out = self.detr_apply(
-                    dp, frozen, prefix, deterministic=not train, rng=k1,
-                    stage="from_prefix", remat=train,
-                )
+                with self._inner_conv_scope():
+                    out = self.detr_apply(
+                        dp, frozen, prefix, deterministic=not train, rng=k1,
+                        stage="from_prefix", remat=train,
+                    )
                 fus = self.fusion_apply(
                     fus_p, out, deterministic=not train, rng=k2, remat=train
                 )
@@ -324,7 +325,10 @@ class InteractronRandomTask(TaskModel):
 
         def inner(a):
             dp = merge_inner(a, static_c)
-            out = self.detr_apply(dp, frozen, prefix, deterministic=True, stage="from_prefix")
+            with self._inner_conv_scope():
+                out = self.detr_apply(
+                    dp, frozen, prefix, deterministic=True, stage="from_prefix"
+                )
             fus = self.fusion_apply(params["fusion"], out, deterministic=True)
             return learned_loss_value(fus)
 

@@ -28,6 +28,14 @@ def main():
         "(the MODEL.FLASH_ATTENTION production knob)",
     )
     ap.add_argument("--chunked", action="store_true")
+    ap.add_argument("--scan", action="store_true",
+                    help="chain the steps in one device-side lax.scan "
+                    "(amortizes the axon tunnel's per-call dispatch)")
+    ap.add_argument("--prng", default=None,
+                    help="override MODEL.PRNG_IMPL (rbg|threefry2x32)")
+    ap.add_argument("--inner-shift", action="store_true",
+                    help="MODEL.INNER_SHIFT_CONV=True (shifted-GEMM convs in "
+                    "the twice-differentiated inner pass)")
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--config", default="configs/interactron.yaml")
     args = ap.parse_args()
@@ -49,6 +57,10 @@ def main():
     # go through the production knob: task build re-derives the kernel gate
     # from MODEL.FLASH_ATTENTION (tasks/base.py), so --no-flash must say so
     setattr(cfg.MODEL, "FLASH_ATTENTION", bool(args.flash))
+    if args.prng:
+        setattr(cfg.MODEL, "PRNG_IMPL", args.prng)
+    if args.inner_shift:
+        setattr(cfg.MODEL, "INNER_SHIFT_CONV", True)
     cfg.TRAINER.INNER_BATCH = args.inner
     task = InteractronTask(cfg)
     task.inner_batch = args.inner
@@ -69,6 +81,46 @@ def main():
         upd, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
         return params, opt_state, metrics["total_loss"] * 1e-9, path_state
+
+    if args.scan:
+        # device-side step chain (same methodology as bench.py): the axon
+        # tunnel serializes per-call dispatch (~46 ms/step measured between
+        # 275 ms device-busy and 321 ms host-loop wall); a real training
+        # loop overlaps dispatch with compute, so sustained device
+        # throughput is the metric. Identical per-step work and carry
+        # (params, opt state, path state) as the host loop.
+        def run_scan(params, opt_state, batch, rng, chain, path_state, length):
+            def body(carry, i):
+                params, opt_state, chain, path_state = carry
+                params, opt_state, chain, path_state = step(
+                    params, opt_state, batch, jax.random.fold_in(rng, i),
+                    chain, path_state,
+                )
+                return (params, opt_state, chain, path_state), ()
+
+            carry, _ = jax.lax.scan(
+                body, (params, opt_state, chain, path_state),
+                jnp.arange(length), length=length,
+            )
+            return carry
+
+        fn = jax.jit(run_scan, static_argnums=(6,))
+        t0 = time.perf_counter()
+        # warm with the SAME length (length is static: a different value
+        # would recompile inside the timed region)
+        carry = fn(params, opt_state, batch, jax.random.PRNGKey(1), jnp.zeros(()), path_state, args.iters)
+        _ = float(carry[2])
+        print(f"compile+first chain: {time.perf_counter()-t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        carry = fn(params, opt_state, batch, jax.random.PRNGKey(2), jnp.zeros(()), path_state, args.iters)
+        _ = float(carry[2])
+        dt = time.perf_counter() - t0
+        print(
+            f"train step (scan): {dt/args.iters*1000:.1f} ms/step, "
+            f"{args.batch*args.iters/dt:.2f} episodes/s (batch={args.batch}, inner={args.inner})",
+            flush=True,
+        )
+        return
 
     fn = jax.jit(step)
     chain = jnp.zeros(())
