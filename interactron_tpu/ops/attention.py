@@ -141,9 +141,14 @@ def packed_attention(
         logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
-    probs = probs.astype(in_dtype)
+        # remat'd mask-apply (models/layers.py::dropout_apply): the autodiff
+        # residual is the f32 probs (already saved for the softmax backward)
+        # plus the key — the mask and the casted copy regenerate in backward
+        from interactron_tpu.models.layers import dropout_apply
+
+        probs = dropout_apply(probs, dropout_rng, dropout_rate, in_dtype)
+    else:
+        probs = probs.astype(in_dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, vh)
     return out.reshape(b, t, dim)
 
@@ -255,9 +260,11 @@ def dot_product_attention(
         logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
-    probs = probs.astype(in_dtype)
+        from interactron_tpu.models.layers import dropout_apply
+
+        probs = dropout_apply(probs, dropout_rng, dropout_rate, in_dtype)
+    else:
+        probs = probs.astype(in_dtype)
     return jnp.einsum("bhts,bhsd->bhtd", probs, v)
 
 

@@ -108,6 +108,13 @@ class TaskModel:
         # fully deterministic given the seed. MODEL.PRNG_IMPL overrides.
         impl = str(m.get("PRNG_IMPL", "rbg" if flash_default else "threefry2x32"))
         jax.config.update("jax_default_prng_impl", impl)
+        # Without TRAINER.REMAT the dropout masks are saved residuals
+        # (~16 ms/step of (5,8,361,361) DETR attention-mask traffic at
+        # inner_batch=4); REMAT_DROPOUT checkpoints just the mask-apply so
+        # the backward regenerates them from the key (cheap under rbg).
+        from interactron_tpu.models.layers import set_remat_dropout
+
+        set_remat_dropout(bool(m.get("REMAT_DROPOUT", True)))
         # im2col conv formulation (models/layers.py): measured SLOWER for
         # the full predict step when applied to EVERY trainable conv (38 vs
         # 91 eps/s — the patch HBM traffic dominates), so global use stays

@@ -127,3 +127,36 @@ def test_flash_attention_config_gate():
         assert attn._USE_PALLAS is False
     finally:
         attn.set_flash_attention(prev)
+
+
+def test_remat_dropout_grads_identical(rng):
+    """MODEL.REMAT_DROPOUT only changes WHERE the dropout masks are computed
+    (regenerated in the backward vs saved as residuals) — the second-order
+    gradients must agree to fp32 rounding either side of the switch (XLA may
+    reassociate the fused chains differently, so bit-equality only holds per
+    compile; observed drift is ~1e-8 on near-zero leaves)."""
+    from interactron_tpu.models.layers import set_remat_dropout
+
+    cfg = tiny_config("interactron")
+    task = tasks.InteractronTask(cfg)
+    params, frozen = task.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(rng)
+    key = jax.random.PRNGKey(3)
+    ps = task.init_path_state(8)
+    out = {}
+    try:
+        for flag in (True, False):
+            set_remat_dropout(flag)
+            g, m, _ = jax.jit(
+                lambda p, f, b, r, s: task.grads_and_metrics(p, f, b, r, s)
+            )(params, frozen, batch, key, ps)
+            out[flag] = (g, m)
+    finally:
+        set_remat_dropout(True)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out[True][0]), jax.tree_util.tree_leaves(out[False][0])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-6)
+    np.testing.assert_allclose(
+        float(out[True][1]["total_loss"]), float(out[False][1]["total_loss"]), rtol=1e-6
+    )

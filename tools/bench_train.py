@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--inner-shift", action="store_true",
                     help="MODEL.INNER_SHIFT_CONV=True (shifted-GEMM convs in "
                     "the twice-differentiated inner pass)")
+    ap.add_argument("--remat-dropout", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="MODEL.REMAT_DROPOUT (regenerate dropout masks in "
+                    "the backward instead of saving them as residuals)")
     ap.add_argument("--block", type=int, default=None)
     ap.add_argument("--config", default="configs/interactron.yaml")
     args = ap.parse_args()
@@ -61,6 +65,7 @@ def main():
         setattr(cfg.MODEL, "PRNG_IMPL", args.prng)
     if args.inner_shift:
         setattr(cfg.MODEL, "INNER_SHIFT_CONV", True)
+    setattr(cfg.MODEL, "REMAT_DROPOUT", bool(args.remat_dropout))
     cfg.TRAINER.INNER_BATCH = args.inner
     task = InteractronTask(cfg)
     task.inner_batch = args.inner
