@@ -83,6 +83,9 @@ class Trainer:
             self.detector_lr = float(t.get("DETECTOR_LR", 1e-5))
             self.supervisor_lr = float(t.get("SUPERVISOR_LR", 1e-4))
         self.single_optimizer = self.type == "direct_supervision"
+        # reference key is LEARNING_RATE (direct_supervision_trainer.py:69);
+        # LR kept as a fallback for older local configs
+        self.learning_rate = float(t.get("LEARNING_RATE", t.get("LR", 1e-4)))
         self.lr_decay = bool(t.get("LR_DECAY", False))
         self.warmup_tokens = float(t.get("WARMUP_TOKENS", 0) or 0)
         self.final_tokens = float(t.get("FINAL_TOKENS", 0) or 0)
@@ -103,8 +106,9 @@ class Trainer:
     def _build_step(self):
         task = self.model
         if self.single_optimizer:
-            lr = float(self.config.TRAINER.get("LR", 1e-4))
-            self.opts = {"all": optax.inject_hyperparams(optax.adam)(learning_rate=lr)}
+            self.opts = {
+                "all": optax.inject_hyperparams(optax.adam)(learning_rate=self.learning_rate)
+            }
         else:
             self.opts = {
                 "detector": optax.inject_hyperparams(optax.adam)(learning_rate=self.detector_lr),
@@ -124,7 +128,7 @@ class Trainer:
             if self.single_optimizer:
                 st = opt_states["all"]
                 st.hyperparams["learning_rate"] = jnp.asarray(
-                    float(self.config.TRAINER.get("LR", 1e-4)) * sup_lr_scale
+                    self.learning_rate * sup_lr_scale
                 )
                 upd, st = self.opts["all"].update(grads, st, params)
                 new_params = optax.apply_updates(params, upd)
@@ -233,8 +237,16 @@ class Trainer:
                     params, opt_states, metrics, path_state = self._train_step(
                         params, frozen, opt_states, db, sub, scale, path_state
                     )
-                    self.tokens += batch["frames"].shape[0] * batch["frames"].shape[1]
-                    self.logger.add_value("Train/LR", self.supervisor_lr * scale)
+                    # token unit differs per trainer type in the reference:
+                    # direct_supervision counts episodes (direct_supervision_
+                    # trainer.py:107), interactron trainers count frames
+                    # (interactron_trainer.py:115)
+                    if self.single_optimizer:
+                        self.tokens += batch["frames"].shape[0]
+                        self.logger.add_value("Train/LR", self.learning_rate * scale)
+                    else:
+                        self.tokens += batch["frames"].shape[0] * batch["frames"].shape[1]
+                        self.logger.add_value("Train/LR", self.supervisor_lr * scale)
                 else:
                     metrics, path_state = self._eval_step(params, frozen, db, sub, path_state)
                 macc = metrics if macc is None else jax.tree_util.tree_map(jnp.add, macc, metrics)

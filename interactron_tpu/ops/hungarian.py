@@ -10,7 +10,7 @@ fixed column count with a constant cost: because every padded column has the
 same cost in every row, the optimal assignment restricted to valid columns is
 identical to scipy's rectangular `linear_sum_assignment` on the valid
 submatrix (the padded part contributes a constant), which is verified against
-scipy in tests/test_hungarian.py.
+scipy in tests/test_ops.py.
 """
 
 from functools import partial

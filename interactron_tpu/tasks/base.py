@@ -60,6 +60,10 @@ class TaskModel:
             num_decoder_layers=int(m.get("NUM_DECODER_LAYERS", 6)),
             ff_dim=int(m.get("DETR_FF_DIM", 2048)),
             backbone=m.get("BACKBONE", "resnet50"),
+            # the reference hardcodes 0.1 via build_transformer's default
+            # (detr_models/transformer.py:20); exposed for the trainer
+            # lockstep differential (dropout must be off on both sides)
+            dropout_rate=float(m.get("DETR_DROPOUT", 0.1)),
             dtype=self.dtype,
         )
         self.max_boxes = min(C.MAX_BOXES, self.detector.num_queries)
