@@ -16,7 +16,10 @@ lax.scan and ITERS defaults to 96 because the closing scalar fetch costs a
 full tunnel round-trip (~60 ms — 2.5 ms/iter at 24 iters, profiled): in
 production the per-batch result fetches overlap compute via async dispatch,
 so amortizing the RTT measures sustained device throughput, which is the
-metric.
+metric. The emitted detail block also records a HOST-LOOP cross-check of
+the same step (separate jit dispatches, pays the tunnel RTT per call) so
+the scan number can be read against an unchained measurement, plus the
+full second-order TRAIN-step throughput and its estimated MFU.
 
 Baseline anchor: the reference publishes no episodes/sec number; its only
 wall-clock anchors are ~5 days RTX-3090 training for 2000 epochs x 1000
@@ -26,32 +29,33 @@ is >20x that => 100 episodes/s/chip (BASELINE.md). vs_baseline = value/100.
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-import os
-
 REF_3090_EPISODES_PER_SEC = 5.0
 TARGET_MULTIPLE = 20.0
 BATCH = int(os.environ.get("BENCH_BATCH", 4))
 CONFIG = os.environ.get("BENCH_CONFIG", "configs/interactron.yaml")
 ITERS = int(os.environ.get("BENCH_ITERS", 96))
-# BENCH_HOST_LOOP=1: issue ITERS separate jit calls from the host instead of
-# one device-side lax.scan. The scan is the default because each host call
-# crosses the axon tunnel (serialize + RPC), an overhead a real serving loop
-# amortizes with async dispatch but which the tunnel serializes; the scan
-# keeps the identical per-iteration dependency chain while paying dispatch
-# once. Both paths measure the same step function.
+HOST_ITERS = int(os.environ.get("BENCH_HOST_ITERS", 24))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", 8))
+TRAIN_INNER = int(os.environ.get("BENCH_TRAIN_INNER", 4))
+TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", 12))
+# chip peak for the MFU estimate (v5e bf16 ~197 TFLOP/s)
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
+# BENCH_HOST_LOOP=1: legacy switch — make the HEADLINE number the host loop
 HOST_LOOP = bool(os.environ.get("BENCH_HOST_LOOP"))
+SKIP_TRAIN = bool(os.environ.get("BENCH_SKIP_TRAIN"))
+SKIP_HOST = bool(os.environ.get("BENCH_SKIP_HOST_CHECK"))
 
 
-def build(flash):
+def _task(flash):
     from interactron_tpu.tasks import InteractronTask
     from interactron_tpu.utils.config import get_config
-    from __graft_entry__ import _episode_batch
 
     # The bench config IS the production config: the flash toggle goes
     # through the same MODEL.FLASH_ATTENTION knob tasks/base.py consumes for
@@ -61,7 +65,20 @@ def build(flash):
     setattr(cfg.MODEL, "FLASH_ATTENTION", flash)
     if os.environ.get("BENCH_INNER_SHIFT"):
         setattr(cfg.MODEL, "INNER_SHIFT_CONV", True)
-    task = InteractronTask(cfg)
+    return InteractronTask(cfg), cfg
+
+
+def _batch(task, n):
+    from __graft_entry__ import _episode_batch
+
+    batch = _episode_batch(
+        np.random.RandomState(0), n, 5, task.img_size, task.max_boxes, task.num_classes
+    )
+    return {k: jax.device_put(v) for k, v in batch.items()}
+
+
+def build(flash, host_loop):
+    task, _ = _task(flash)
     params, frozen = task.init(jax.random.PRNGKey(0))
 
     def step(params, frozen, batch, chain):
@@ -93,29 +110,26 @@ def build(flash):
         chain, _ = jax.lax.scan(body, chain, None, length=ITERS)
         return chain
 
-    fn = jax.jit(step) if HOST_LOOP else jax.jit(step_scan)
-    batch = _episode_batch(
-        np.random.RandomState(0), BATCH, 5, task.img_size, task.max_boxes, task.num_classes
-    )
+    fn = jax.jit(step) if host_loop else jax.jit(step_scan)
     batch = {
-        k: jax.device_put(v)
-        for k, v in batch.items()
+        k: v
+        for k, v in _batch(task, BATCH).items()
         if k not in ("actions", "episode_uid")
     }
     return fn, params, frozen, batch
 
 
-def measure(fn, params, frozen, batch):
+def measure(fn, params, frozen, batch, host_loop):
     chain = jnp.zeros(())
-    if HOST_LOOP:
+    if host_loop:
         out, chain = fn(params, frozen, batch, chain)
         _ = float(chain)  # warm + compile
         t0 = time.perf_counter()
-        for _ in range(ITERS):
+        for _ in range(HOST_ITERS):
             out, chain = fn(params, frozen, batch, chain)
         _ = float(chain)  # single scalar fetch syncs the whole chain
         dt = time.perf_counter() - t0
-        return BATCH * ITERS / dt
+        return BATCH * HOST_ITERS / dt
     chain = fn(params, frozen, batch, chain)
     _ = float(chain)  # warm + compile
     t0 = time.perf_counter()
@@ -123,6 +137,66 @@ def measure(fn, params, frozen, batch):
     _ = float(chain)
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt
+
+
+def measure_train():
+    """Full second-order interactron train step (grads + Adam), scan-chained
+    like the predict bench; returns (episodes/s, MFU estimate)."""
+    import optax
+
+    task, cfg = _task(True)
+    task.inner_batch = TRAIN_INNER
+    params, frozen = task.init(jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    batch = _batch(task, TRAIN_BATCH)
+    path_state = task.init_path_state(64)
+
+    def step(params, opt_state, batch, rng, chain, path_state):
+        b = dict(batch)
+        b["frames"] = b["frames"] + chain * 1e-9
+        grads, metrics, path_state = task.grads_and_metrics(
+            params, frozen, b, rng, path_state
+        )
+        upd, opt_state = opt.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, upd)
+        return params, opt_state, metrics["total_loss"] * 1e-9, path_state
+
+    def run_scan(params, opt_state, batch, rng, chain, path_state):
+        def body(carry, i):
+            p, o, c, ps = carry
+            p, o, c, ps = step(p, o, batch, jax.random.fold_in(rng, i), c, ps)
+            return (p, o, c, ps), ()
+
+        carry, _ = jax.lax.scan(
+            body, (params, opt_state, chain, path_state),
+            jnp.arange(TRAIN_ITERS), length=TRAIN_ITERS,
+        )
+        return carry
+
+    fn = jax.jit(run_scan)
+    # FLOP estimate for MFU from the compiled single-step cost analysis
+    flops_per_step = None
+    try:
+        one = jax.jit(step).lower(
+            params, opt_state, batch, jax.random.PRNGKey(0), jnp.zeros(()), path_state
+        ).compile()
+        ca = one.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    carry = fn(params, opt_state, batch, jax.random.PRNGKey(1), jnp.zeros(()), path_state)
+    _ = float(carry[2])  # warm + compile
+    t0 = time.perf_counter()
+    carry = fn(params, opt_state, batch, jax.random.PRNGKey(2), jnp.zeros(()), path_state)
+    _ = float(carry[2])
+    dt = time.perf_counter() - t0
+    eps = TRAIN_BATCH * TRAIN_ITERS / dt
+    mfu = None
+    if flops_per_step:
+        mfu = flops_per_step * TRAIN_ITERS / dt / (PEAK_TFLOPS * 1e12)
+    return eps, mfu
 
 
 def main():
@@ -138,10 +212,34 @@ def main():
     # driver's default invocation still measures both)
     legs = (True,) if os.environ.get("BENCH_FLASH_ONLY") else (False, True)
     for flash in legs:
-        fn, params, frozen, batch = build(flash)
-        results[flash] = measure(fn, params, frozen, batch)
+        fn, params, frozen, batch = build(flash, HOST_LOOP)
+        results[flash] = measure(fn, params, frozen, batch, HOST_LOOP)
+    host_check = None
+    if not SKIP_HOST and not HOST_LOOP:
+        fn, params, frozen, batch = build(True, True)
+        host_check = measure(fn, params, frozen, batch, True)
+    train_eps = train_mfu = None
+    if not SKIP_TRAIN:
+        try:
+            train_eps, train_mfu = measure_train()
+        except Exception as e:  # train leg must never sink the headline
+            print(f"# train leg failed: {e!r}", flush=True)
     eps = max(results.values())
     target = REF_3090_EPISODES_PER_SEC * TARGET_MULTIPLE
+    detail = {
+        "xla_attention": round(results.get(False, 0.0), 2),
+        "pallas_flash_attention": round(results[True], 2),
+        "batch": BATCH,
+    }
+    if host_check is not None:
+        detail["host_loop_cross_check"] = round(host_check, 2)
+        detail["host_loop_iters"] = HOST_ITERS
+    if train_eps is not None:
+        detail["train_eps_per_sec"] = round(train_eps, 2)
+        detail["train_batch"] = TRAIN_BATCH
+        detail["train_inner"] = TRAIN_INNER
+        if train_mfu is not None:
+            detail["train_mfu"] = round(train_mfu, 4)
     print(
         json.dumps(
             {
@@ -149,11 +247,7 @@ def main():
                 "value": round(eps, 3),
                 "unit": "episodes/s",
                 "vs_baseline": round(eps / target, 4),
-                "detail": {
-                    "xla_attention": round(results.get(False, 0.0), 2),
-                    "pallas_flash_attention": round(results[True], 2),
-                    "batch": BATCH,
-                },
+                "detail": detail,
             }
         )
     )

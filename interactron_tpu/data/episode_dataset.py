@@ -177,7 +177,7 @@ class EpisodeLoader:
     DataLoader + worker processes; decode/augment overlaps device compute)."""
 
     def __init__(self, dataset, batch_size, shuffle=False, num_workers=2, prefetch=2,
-                 drop_last=True, seed=0):
+                 drop_last=True, seed=0, process_index=0, process_count=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -186,6 +186,14 @@ class EpisodeLoader:
         self.drop_last = drop_last
         self.rng_seed = seed
         self.rng = np.random.RandomState(seed)
+        # multi-host: batch_size is the GLOBAL batch; each process loads the
+        # contiguous slice of every index batch that lands on its devices
+        # (mesh device order is process-major), and loads non-divisible tail
+        # batches in full (they are replicated, parallel/mesh.py:shard_batch).
+        # The shuffle permutation is seed-deterministic, so all processes
+        # agree on the global order without communicating.
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
 
     def __len__(self):
         n = len(self.dataset)
@@ -199,14 +207,29 @@ class EpisodeLoader:
         for i in range(nb):
             yield idx[i * self.batch_size : (i + 1) * self.batch_size]
 
+    def _local_slice(self, ib):
+        """Process-local view of a global index batch (+ its global size)."""
+        g = len(ib)
+        if self.process_count > 1 and g % self.process_count == 0:
+            lb = g // self.process_count
+            ib = ib[self.process_index * lb : (self.process_index + 1) * lb]
+        return ib, g
+
     def __iter__(self):
         def load(i):
             rng = np.random.RandomState((self.rng_seed * 1000003 + int(i)) % (2**31 - 1))
             return self.dataset.get_item(int(i), rng=rng)
 
+        def emit(ib):
+            local, g = self._local_slice(ib)
+            batch = collate([load(i) for i in local])
+            if self.process_count > 1:
+                batch["_global_rows"] = g
+            return batch
+
         if self.num_workers == 0:
             for ib in self._index_batches():
-                yield collate([load(i) for i in ib])
+                yield emit(ib)
             return
 
         # N loader threads fill an ordered slot table; consumption stays in
@@ -218,9 +241,7 @@ class EpisodeLoader:
         with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             futures = []
             for ib in batches:
-                futures.append(
-                    pool.submit(lambda ib=ib: collate([load(i) for i in ib]))
-                )
+                futures.append(pool.submit(lambda ib=ib: emit(ib)))
                 # keep at most prefetch+num_workers batches in flight
                 while len(futures) > self.prefetch + self.num_workers:
                     yield futures.pop(0).result()
@@ -238,33 +259,39 @@ class InteractiveEpisodeDataset(EpisodeDataset):
         self.idx = -1
         self.actions = []
 
-    def _partial_sample(self):
-        scene = self.annotations["data"][self.idx]
+    def partial_sample(self, idx, actions):
+        """Stateless prefix replay: the (len(actions)+1)-frame sample of
+        episode `idx` after taking `actions` (action-name strings). Used by
+        reset/step and by the lockstep batched evaluator."""
+        scene = self.annotations["data"][idx]
         state_name = scene["root"]
         frames, b_list, l_list, v_list = [], [], [], []
         initial_image_path = os.path.join(
             self.img_dir, scene["scene_name"], scene["root"] + ".jpg"
         )
-        for i in range(len(self.actions) + 1):
+        for i in range(len(actions) + 1):
             img, boxes, labels = self._load_state(scene, state_name, self.rng)
             pb, pl, pv = self._pad_targets(boxes, labels)
             frames.append(img)
             b_list.append(pb)
             l_list.append(pl)
             v_list.append(pv)
-            if i < len(self.actions):
-                state_name = scene["state_table"][state_name]["actions"][self.actions[i]]
+            if i < len(actions):
+                state_name = scene["state_table"][state_name]["actions"][actions[i]]
         return {
             "frames": np.stack(frames).astype(np.float32)[None],
             "actions": np.asarray(
-                [C.ACTIONS.index(a) for a in self.actions], np.int32
+                [C.ACTIONS.index(a) for a in actions], np.int32
             )[None],
             "labels": np.stack(l_list)[None],
             "boxes": np.stack(b_list)[None],
             "valid": np.stack(v_list)[None],
-            "episode_uid": np.asarray([self.idx], np.int32),
+            "episode_uid": np.asarray([idx], np.int32),
             "initial_image_path": [initial_image_path],
         }
+
+    def _partial_sample(self):
+        return self.partial_sample(self.idx, self.actions)
 
     def reset(self):
         self.idx += 1

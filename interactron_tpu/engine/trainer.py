@@ -50,8 +50,9 @@ class Trainer:
         t = config.TRAINER
         self.type = t.TYPE
 
+        suffix = "" if jax.process_index() == 0 else f"-p{jax.process_index()}"
         self.out_dir = os.path.join(
-            t.OUTPUT_DIRECTORY, datetime.now().strftime("%m-%d-%Y:%H:%M:%S")
+            t.OUTPUT_DIRECTORY, datetime.now().strftime("%m-%d-%Y:%H:%M:%S") + suffix
         )
         os.makedirs(self.out_dir, exist_ok=True)
         self.logger = MetricLogger(os.path.join(self.out_dir, "logs"))
@@ -98,6 +99,11 @@ class Trainer:
             self.mesh = make_mesh(tp=1)
         else:
             self.mesh = None
+        if jax.process_count() > 1:
+            assert self.mesh is not None, (
+                f"multi-process training needs BATCH_SIZE divisible by the "
+                f"{n_dev} global devices (got {self.batch_size})"
+            )
         self.tokens = 0
         self._build_step()
 
@@ -214,6 +220,7 @@ class Trainer:
             loader = EpisodeLoader(
                 ds, self.batch_size, shuffle=is_train, num_workers=self.num_workers,
                 seed=epoch, drop_last=is_train,
+                process_index=jax.process_index(), process_count=jax.process_count(),
             )
             # Metrics accumulate DEVICE-side (async jnp adds) and are fetched
             # ONCE per epoch: per-iteration float() fetches serialized
@@ -223,7 +230,11 @@ class Trainer:
             macc, nb = None, 0
             for it, batch in enumerate(loader):
                 key, sub = jax.random.split(key)
-                db = {k: v for k, v in batch.items() if k != "initial_image_path"}
+                global_rows = batch.get("_global_rows", batch["frames"].shape[0])
+                db = {
+                    k: v for k, v in batch.items()
+                    if k not in ("initial_image_path", "_global_rows")
+                }
                 if self.mesh is not None:
                     # An uneven tail batch (test epochs keep partial tails,
                     # drop_last=False) cannot shard over 'dp' — device_put
@@ -231,7 +242,9 @@ class Trainer:
                     # it instead: every device redundantly computes the tail
                     # (exact metrics, placement-compatible with the sharded
                     # steps); jit compiles one extra tail shape per epoch.
-                    db = shard_batch(db, self.mesh)
+                    # Multi-process, each process feeds its local slice and
+                    # shard_batch assembles the global array.
+                    db = shard_batch(db, self.mesh, global_rows=global_rows)
                 if is_train:
                     scale = self._lr_scale()
                     params, opt_states, metrics, path_state = self._train_step(
@@ -242,10 +255,10 @@ class Trainer:
                     # trainer.py:107), interactron trainers count frames
                     # (interactron_trainer.py:115)
                     if self.single_optimizer:
-                        self.tokens += batch["frames"].shape[0]
+                        self.tokens += global_rows
                         self.logger.add_value("Train/LR", self.learning_rate * scale)
                     else:
-                        self.tokens += batch["frames"].shape[0] * batch["frames"].shape[1]
+                        self.tokens += global_rows * batch["frames"].shape[1]
                         self.logger.add_value("Train/LR", self.supervisor_lr * scale)
                 else:
                     metrics, path_state = self._eval_step(params, frozen, db, sub, path_state)
@@ -287,17 +300,19 @@ class Trainer:
             print(f"epoch {epoch}: train loss {train_loss:.5f} ({time.time()-t0:.1f}s)")
             if self.save_window and max_epochs - epoch <= self.save_window:
                 self.avg.add(params, 1.0 / self.save_window)
-            save_pytree(
-                os.path.join(self.out_dir, "last_state.ckpt"),
-                {"params": params, "frozen": frozen, "opt": opt_states,
-                 "epoch": epoch, "tokens": self.tokens, "path_state": path_state},
-            )
+            if jax.process_index() == 0:  # params replicate: rank 0 saves
+                save_pytree(
+                    os.path.join(self.out_dir, "last_state.ckpt"),
+                    {"params": params, "frozen": frozen, "opt": opt_states,
+                     "epoch": epoch, "tokens": self.tokens, "path_state": path_state},
+                )
         final = self.avg.value(like=jax.device_get(params))
         # the frozen collection (stem+layer1 kernels, all BN stats) must ship
         # with the checkpoint or a fresh process cannot reproduce the model
-        save_pytree(
-            self.checkpoint_path,
-            {"params": final if final is not None else jax.device_get(params),
-             "frozen": jax.device_get(frozen)},
-        )
+        if jax.process_index() == 0:
+            save_pytree(
+                self.checkpoint_path,
+                {"params": final if final is not None else jax.device_get(params),
+                 "frozen": jax.device_get(frozen)},
+            )
         return params, frozen

@@ -244,9 +244,22 @@ def install():
 
         return img.transpose(PIL.Image.FLIP_LEFT_RIGHT)
 
+    def _resize(img, size):
+        """torchvision F.resize on a PIL image: size is (h, w), PIL wants
+        (w, h); the PIL backend uses BILINEAR by default. Same-size resizes
+        short-circuit (the reference's RandomResize always calls F.resize,
+        transforms.py:107-108, even when the size is unchanged)."""
+        import PIL.Image
+
+        h, w = size
+        if (w, h) == img.size:
+            return img
+        return img.resize((w, h), PIL.Image.BILINEAR)
+
     tfunc.to_tensor = _to_tensor
     tfunc.normalize = _normalize
     tfunc.hflip = _hflip
+    tfunc.resize = _resize
     transforms_mod.functional = tfunc
 
     class _RandomCrop:
