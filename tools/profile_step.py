@@ -32,7 +32,7 @@ def capture(mode, batch, iters):
     if mode == "predict":
         import bench
 
-        fn, params, frozen, data = bench.build(flash=True)
+        fn, params, frozen, data = bench.build(flash=True, host_loop=False)
         args = (params, frozen, data, jnp.zeros(()))
 
         def run():
