@@ -158,9 +158,15 @@ class Trainer:
                     new_opt_states["fusion"] = sts
             return new_params, new_opt_states, metrics, path_state
 
-        # donate params/opt-state/path-state buffers: updates happen in place
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 2, 6))
-        self._eval_step = jax.jit(task.eval_metrics)
+        # donate params/opt-state/path-state buffers: updates happen in place.
+        # Multi-process, the lockstep wrapper AOT-compiles each new batch
+        # shape and barriers all processes between compile and dispatch, so
+        # per-host compile skew can never trip the collective transport's
+        # startup handshake (parallel/lockstep.py).
+        from interactron_tpu.parallel.lockstep import LockstepFn
+
+        self._train_step = LockstepFn(train_step, "train_step", donate_argnums=(0, 2, 6))
+        self._eval_step = LockstepFn(task.eval_metrics, "eval_step")
 
     # ------------------------------------------------------------------ train
 
