@@ -21,6 +21,40 @@ from flax import linen as nn
 from interactron_tpu.models.layers import Conv2d, FrozenBatchNorm
 
 
+def _max_pool_3x3_s2p1(x):
+    """3x3/s2/p1 max pool as two separable passes of strided-slice maxima.
+
+    `reduce_window` reads every input element 9x from HBM (profiled 0.677
+    ms/iter at an effective 99 GB/s useful bandwidth in the predict step);
+    row-then-column decomposition of the max reads each element ~1.5x per
+    pass. Each pass is shift-max (y[j] = max(x[j], x[j+1]), contiguous
+    slices) followed by a reshape pair-max (out[i] = max(y[2i], y[2i+1]) =
+    the 3-window max) — stride-2 SLICES must not appear anywhere, they
+    lower to gathers (profiled +0.6 ms/iter, worse than reduce_window).
+    Padding uses -inf, matching reduce_window's identity padding bit-exactly
+    (tests/test_torch_parity.py covers the stem output)."""
+    n, h, w, c = x.shape
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+
+    def pool_axis(t, axis, size):
+        pad = [(0, 0)] * 4
+        pad[axis] = (1, 1)
+        tp = jnp.pad(t, pad, constant_values=neg)
+        lo = [slice(None)] * 4
+        hi = [slice(None)] * 4
+        lo[axis] = slice(0, tp.shape[axis] - 1)
+        hi[axis] = slice(1, tp.shape[axis])
+        y = jnp.maximum(tp[tuple(lo)], tp[tuple(hi)])
+        ev = [slice(None)] * 4
+        ev[axis] = slice(0, 2 * size)
+        shp = list(y.shape)
+        shp[axis : axis + 1] = [size, 2]
+        return jnp.max(y[tuple(ev)].reshape(shp), axis=axis + 1)
+
+    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    return pool_axis(pool_axis(x, 1, ho), 2, wo)
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -103,7 +137,7 @@ class ResNet50DC5(nn.Module):
             x = Conv2d(64, (7, 7), (2, 2), 3, frozen=True, dtype=self.dtype, name="conv1")(x)
             x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
             x = nn.relu(x)
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+            x = _max_pool_3x3_s2p1(x)
             x = layer(x, 64, 3, 1, 1, True, "layer1")
             if stage == "prefix":
                 return x

@@ -229,6 +229,141 @@ def _dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref, dk_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _keep_mask_col(seed_val, ih, jk, n_q_blocks, bq, bk, rate):
+    """Full (n_q_blocks*bq, bk) keep mask for one K block: the same
+    per-(jq, jk) tiles the forward generated, stacked along rows."""
+    tiles = [
+        _keep_mask(seed_val, ih, jq, jk, (bq, bk), rate)
+        for jq in range(n_q_blocks)
+    ]
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
+
+
+def _dkv_kernel_fullt(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
+                      dk_ref, dv_ref, *, scale, rate, n_q_blocks, bq, hd, g_sz):
+    """dK/dV with FULL-T GEMMs — the dq kernel's shape, transposed.
+
+    The blocked variant (_dkv_kernel) sweeps q in bq-row tiles, so every
+    GEMM is (bq, bk, 64): M=N=128, K=64 — half MXU depth AND a 136-step
+    unrolled chain Mosaic must schedule. Here each grid step computes one
+    K-block against ALL query rows at once: logits/dp are (T_pad, bk) with
+    M=2176, and the dV/dK contractions run K=T_pad=2176 deep — the same
+    total arithmetic in 4 big GEMMs per head instead of 68 small ones.
+    Padded q rows are harmless for the same reason as in _dkv_kernel: dO
+    and D are zero there, so their dV/dK contributions vanish."""
+    i = pl.program_id(0)
+    jk = pl.program_id(1)
+    qs = q_ref[0] * (scale * 1.4426950408889634)   # one (T_pad, lanes) pass
+    k = k_ref[0]                                    # (BK, g_sz*hd)
+    v = v_ref[0]
+    do = do_ref[0]                                  # (T_pad, g_sz*hd)
+    inv_log2e = 0.6931471805599453
+    dks = []
+    dvs = []
+    for g in range(g_sz):
+        sl = slice(g * hd, (g + 1) * hd)
+        qg = qs[:, sl]
+        dog = do[:, sl]
+        L = l_ref[0, g]                             # (T_pad, 1)
+        D = d_ref[0, g]
+        logits = jax.lax.dot_general(
+            qg, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (T_pad, BK)
+        p = jnp.exp2(logits - L * 1.4426950408889634)
+        dp = jax.lax.dot_general(dog, v[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            bk_cols = p.shape[1]
+            keep = _keep_mask_col(seed_ref[0, 0], i * g_sz + g, jk,
+                                  n_q_blocks, bq, bk_cols, rate)
+            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            p_drop = p
+        dvs.append(jax.lax.dot_general(
+            p_drop.astype(dog.dtype), dog, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))                                          # (BK, hd), K=T_pad
+        ds = (p * (dp - D)).astype(qg.dtype)
+        # qg carries scale*log2e; dK = dS^T Q * scale => divide log2e back out
+        dks.append(jax.lax.dot_general(
+            ds, qg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * inv_log2e)
+    dk = dks[0] if g_sz == 1 else jnp.concatenate(dks, axis=1)
+    dv = dvs[0] if g_sz == 1 else jnp.concatenate(dvs, axis=1)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_merged_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, l_ref, d_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, rate,
+                       n_k_blocks, n_q_blocks, bq, hd, g_sz):
+    """Single-pass backward: dQ, dK, dV from ONE logits/P/dS computation.
+
+    The two-kernel split (_dq_kernel + _dkv_kernel/_dkv_kernel_fullt)
+    recomputes the (T, S) probability tile TWICE — two full exp2 sweeps and
+    two logits GEMMs over every (q, k) block pair. Profiled on chip the
+    fusion backward is not MXU-bound (77 TF/s against a ~130 TF/s blended
+    ceiling), so the duplicated VPU softmax sweep is on the critical path.
+    Here the K-block grid of the fullt kernel also accumulates
+    dQ += dS @ K_block into an f32 REVISITED output block that stays VMEM-
+    resident across the jk sweep (the standard Pallas accumulator-output
+    pattern; the caller casts to the input dtype) — 5 GEMMs and one
+    exp2 sweep per block pair instead of 7 and two."""
+    i = pl.program_id(0)
+    jk = pl.program_id(1)
+    qs = q_ref[0] * (scale * 1.4426950408889634)
+    k = k_ref[0]                                    # (BK, g_sz*hd)
+    v = v_ref[0]
+    do = do_ref[0]                                  # (T_pad, g_sz*hd)
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    inv_log2e = 0.6931471805599453
+    dks = []
+    dvs = []
+    for g in range(g_sz):
+        sl = slice(g * hd, (g + 1) * hd)
+        qg = qs[:, sl]
+        dog = do[:, sl]
+        L = l_ref[0, g]                             # (T_pad, 1)
+        D = d_ref[0, g]
+        logits = jax.lax.dot_general(
+            qg, k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                           # (T_pad, BK)
+        p = jnp.exp2(logits - L * 1.4426950408889634)
+        dp = jax.lax.dot_general(dog, v[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _keep_mask_col(seed_ref[0, 0], i * g_sz + g, jk,
+                                  n_q_blocks, bq, p.shape[1], rate)
+            p_drop = jnp.where(keep, p / (1.0 - rate), 0.0)
+            dp = jnp.where(keep, dp / (1.0 - rate), 0.0)
+        else:
+            p_drop = p
+        dvs.append(jax.lax.dot_general(
+            p_drop.astype(dog.dtype), dog, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        ds = (p * (dp - D)).astype(qg.dtype)        # (T_pad, BK)
+        dks.append(jax.lax.dot_general(
+            ds, qg, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * inv_log2e)
+        # dQ contribution of this K block: dS @ K (K=BK deep), true scale
+        dq_ref[0, :, sl] += jax.lax.dot_general(
+            ds, k[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+    dk = dks[0] if g_sz == 1 else jnp.concatenate(dks, axis=1)
+    dv = dvs[0] if g_sz == 1 else jnp.concatenate(dvs, axis=1)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 def _pad_len(t, bq=BLOCK_Q):
     return -(-t // bq) * bq
 
@@ -351,12 +486,63 @@ def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
                                memory_space=pltpu.VMEM),
     )(seed, qf, kf, vf, gf, L, D)
 
-    grid_k = (b * ng, s_pad // bq)
-    dk, dv = pl.pallas_call(
+    import os
+
+    if os.environ.get("FLASH_BWD", "merged") == "merged":
+        grid_k = (b * ng, s_pad // bq)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_merged_kernel, scale=scale, rate=rate,
+                n_k_blocks=s_pad // bq, n_q_blocks=t_pad // bq, bq=bq,
+                hd=hd, g_sz=g_sz,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t_pad, dim), jnp.float32),
+                jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
+                jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
+            ),
+            grid=grid_k,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, t_pad, lanes), lambda i, j, ng=ng: (i // ng, 0, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, lanes), lambda i, j, ng=ng: (i // ng, j, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, lanes), lambda i, j, ng=ng: (i // ng, j, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, t_pad, lanes), lambda i, j, ng=ng: (i // ng, 0, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_sz, t_pad, 1), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, g_sz, t_pad, 1), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, t_pad, lanes), lambda i, j, ng=ng: (i // ng, 0, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, lanes), lambda i, j, ng=ng: (i // ng, j, i % ng),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, lanes), lambda i, j, ng=ng: (i // ng, j, i % ng),
+                             memory_space=pltpu.VMEM),
+            ),
+        )(seed, qf, kf, vf, gf, L, D)
+        return dq.astype(q.dtype)[:, :t], dk[:, :s], dv[:, :s]
+
+    use_fullt = os.environ.get("FLASH_DKV", "fullt") == "fullt"
+    kern = (
         functools.partial(
+            _dkv_kernel_fullt, scale=scale, rate=rate,
+            n_q_blocks=t_pad // bq, bq=bq, hd=hd, g_sz=g_sz,
+        )
+        if use_fullt
+        else functools.partial(
             _dkv_kernel, t_real=t, scale=scale, rate=rate,
             n_q_blocks=t_pad // bq, bq=bq, hd=hd, g_sz=g_sz,
-        ),
+        )
+    )
+    grid_k = (b * ng, s_pad // bq)
+    dk, dv = pl.pallas_call(
+        kern,
         out_shape=(
             jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
             jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
