@@ -37,19 +37,22 @@ def _max_pool_3x3_s2p1(x):
     neg = jnp.asarray(-jnp.inf, x.dtype)
 
     def pool_axis(t, axis, size):
+        # pad so the shift-max y comes out at EXACTLY 2*size rows: a
+        # trailing trim slice materializes a copy (profiled 0.69 ms/iter),
+        # while the padded chain fuses into one pass and the (size, 2)
+        # reshape is a bitcast. Even extents never use a right pad (the
+        # last 3-window ends at the last row); odd extents need one.
         pad = [(0, 0)] * 4
-        pad[axis] = (1, 1)
+        pad[axis] = (1, 2 * size - t.shape[axis])
         tp = jnp.pad(t, pad, constant_values=neg)
         lo = [slice(None)] * 4
         hi = [slice(None)] * 4
         lo[axis] = slice(0, tp.shape[axis] - 1)
         hi[axis] = slice(1, tp.shape[axis])
         y = jnp.maximum(tp[tuple(lo)], tp[tuple(hi)])
-        ev = [slice(None)] * 4
-        ev[axis] = slice(0, 2 * size)
         shp = list(y.shape)
         shp[axis : axis + 1] = [size, 2]
-        return jnp.max(y[tuple(ev)].reshape(shp), axis=axis + 1)
+        return jnp.max(y.reshape(shp), axis=axis + 1)
 
     ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
     return pool_axis(pool_axis(x, 1, ho), 2, wo)
