@@ -51,6 +51,9 @@ PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))
 HOST_LOOP = bool(os.environ.get("BENCH_HOST_LOOP"))
 SKIP_TRAIN = bool(os.environ.get("BENCH_SKIP_TRAIN"))
 SKIP_HOST = bool(os.environ.get("BENCH_SKIP_HOST_CHECK"))
+# BENCH_TRAIN_ONLY=1: measure only the train leg (local sweeps; prints the
+# train record as the single JSON line)
+TRAIN_ONLY = bool(os.environ.get("BENCH_TRAIN_ONLY"))
 
 
 def _task(flash):
@@ -174,7 +177,10 @@ def measure_train():
         )
         return carry
 
-    fn = jax.jit(run_scan)
+    # donate the train state: without donation every scan call must
+    # preserve its ~500 MB params+Adam input buffers, and the while loop
+    # pays buffer copies it could alias away
+    fn = jax.jit(run_scan, donate_argnums=(0, 1, 5))
     # FLOP estimate for MFU from the compiled single-step cost analysis
     flops_per_step = None
     try:
@@ -187,9 +193,10 @@ def measure_train():
     except Exception:
         pass
     carry = fn(params, opt_state, batch, jax.random.PRNGKey(1), jnp.zeros(()), path_state)
-    _ = float(carry[2])  # warm + compile
+    _ = float(carry[2])  # warm + compile (donation: reuse carry outputs below)
+    params, opt_state, chain, path_state = carry
     t0 = time.perf_counter()
-    carry = fn(params, opt_state, batch, jax.random.PRNGKey(2), jnp.zeros(()), path_state)
+    carry = fn(params, opt_state, batch, jax.random.PRNGKey(2), chain, path_state)
     _ = float(carry[2])
     dt = time.perf_counter() - t0
     eps = TRAIN_BATCH * TRAIN_ITERS / dt
@@ -207,6 +214,16 @@ def main():
             jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     except Exception:
         pass
+    if TRAIN_ONLY:
+        train_eps, train_mfu = measure_train()
+        print(json.dumps({
+            "metric": "train_episodes_per_sec_per_chip",
+            "value": round(train_eps, 3),
+            "unit": "episodes/s",
+            "detail": {"train_batch": TRAIN_BATCH, "train_inner": TRAIN_INNER,
+                       "train_mfu": round(train_mfu, 4) if train_mfu else None},
+        }))
+        return
     results = {}
     # BENCH_FLASH_ONLY=1: skip the XLA-attention leg (local sweeps; the
     # driver's default invocation still measures both)

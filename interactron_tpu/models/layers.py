@@ -388,9 +388,14 @@ def set_remat_dropout(enabled: bool):
 
 
 def _dropout_mask_apply(x, rng, rate, out_dtype):
+    # integer-threshold keep mask on raw RNG bits (P(keep) = 1 - rate,
+    # exact to 2^-32): bernoulli() goes bits -> f32 uniform -> compare,
+    # and those convert passes showed up at ~9 ms/step in the train
+    # profile. Same trick as the flash kernels' _keep_mask.
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(out_dtype)
+    thresh = jnp.uint32(min(int(round(rate * 4294967296.0)), 4294967295))
+    bits = jax.random.bits(rng, x.shape, jnp.uint32)
+    return jnp.where(bits >= thresh, x / keep, 0.0).astype(out_dtype)
 
 
 _dropout_mask_apply_ckpt = jax.checkpoint(_dropout_mask_apply, static_argnums=(2, 3))

@@ -26,6 +26,10 @@ import os as _os
 
 _FLASH_MIN_HD = int(_os.environ.get("FLASH_MIN_HD", 64))
 _FLASH_MIN_S = int(_os.environ.get("FLASH_MIN_S", 1024))
+# query-length gate: lowering FLASH_MIN_S to pull the DETR ENCODER
+# (t=s=361) into the kernel would otherwise also pull the decoder's cross
+# attention (t=50 -> 61% q padding at the 128 block)
+_FLASH_MIN_T = int(_os.environ.get("FLASH_MIN_T", 0))
 
 
 def set_flash_attention(enabled: bool):
@@ -96,6 +100,7 @@ def packed_attention(
         and key_padding_mask is None
         and hd >= _FLASH_MIN_HD
         and s >= _FLASH_MIN_S
+        and t >= _FLASH_MIN_T
     ):
         rate = 0.0 if deterministic else float(dropout_rate)
         if not _FLASH_SUPPRESSED:
