@@ -178,7 +178,13 @@ class TaskModel:
     def init(self, rng):
         kd, kf = jax.random.split(rng)
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
-        dvars = self.detector.init({"params": kd}, dummy, deterministic=True)
+        # jit the module inits: eager Flax init dispatches each param op
+        # separately, which through the axon tunnel pays a full RTT per op
+        # (profiled ~4 min for the DETR stack); one compiled program runs in
+        # milliseconds and lands in the persistent compilation cache
+        dvars = jax.jit(
+            lambda k, x: self.detector.init({"params": k}, x, deterministic=True)
+        )(kd, dummy)
         params = {"detector": dvars["params"]}
         frozen = {"detector": dvars.get("frozen", {})}
         if self.fusion is not None:
@@ -196,7 +202,9 @@ class TaskModel:
                 ),
                 "pred_boxes": jnp.zeros((1, C.NUM_FRAMES, nq, 4), jnp.float32),
             }
-            fvars = self.fusion.init({"params": kf}, fusion_in, deterministic=True)
+            fvars = jax.jit(
+                lambda k, fin: self.fusion.init({"params": k}, fin, deterministic=True)
+            )(kf, fusion_in)
             params["fusion"] = fvars["params"]
         weights = self.config.MODEL.get("WEIGHTS")
         if weights:
