@@ -68,6 +68,14 @@ def _task(flash):
     setattr(cfg.MODEL, "FLASH_ATTENTION", flash)
     if os.environ.get("BENCH_INNER_SHIFT"):
         setattr(cfg.MODEL, "INNER_SHIFT_CONV", True)
+    # BENCH_OVERRIDES="KEY=VAL,KEY=VAL" -> cfg.MODEL.* (local A/B sweeps)
+    for kv in filter(None, os.environ.get("BENCH_OVERRIDES", "").split(",")):
+        k, v = kv.split("=", 1)
+        try:
+            v = json.loads(v)
+        except ValueError:
+            pass
+        setattr(cfg.MODEL, k, v)
     return InteractronTask(cfg), cfg
 
 
@@ -181,12 +189,23 @@ def measure_train():
     # preserve its ~500 MB params+Adam input buffers, and the while loop
     # pays buffer copies it could alias away
     fn = jax.jit(run_scan, donate_argnums=(0, 1, 5))
-    # FLOP estimate for MFU from the compiled single-step cost analysis
+    # FLOP estimate for MFU from the compiled single-step cost analysis.
+    # The microbatch loop is UNROLLED for this lowering only: XLA's cost
+    # analysis does not multiply while-body flops by the trip count, which
+    # halved every reported MFU at inner accumulation depth 2 (0.094
+    # reported vs 0.187 real, round 5). Execution keeps the scan.
     flops_per_step = None
     try:
-        one = jax.jit(step).lower(
-            params, opt_state, batch, jax.random.PRNGKey(0), jnp.zeros(()), path_state
-        ).compile()
+        from interactron_tpu.tasks.base import set_unroll_microbatches
+
+        set_unroll_microbatches(True)
+        try:
+            one = jax.jit(step).lower(
+                params, opt_state, batch, jax.random.PRNGKey(0), jnp.zeros(()),
+                path_state,
+            ).compile()
+        finally:
+            set_unroll_microbatches(False)
         ca = one.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_step = float(ca.get("flops", 0.0)) or None

@@ -186,12 +186,25 @@ class Trainer:
     def _lr_scale(self):
         if not self.lr_decay:
             return 1.0
+        # Quirk preserved: the reference's optimizers are constructed at the
+        # FULL configured LR and only re-set the param-group lr AFTER each
+        # step (interactron_trainer.py:114-126, direct_supervision_trainer.py:
+        # 105-118), so the very first training step always runs at scale 1.0
+        # even inside warmup; the schedule applies from the second step on.
+        if self.tokens == 0:
+            return 1.0
         if self.tokens < self.warmup_tokens:
             return float(self.tokens) / float(max(1, self.warmup_tokens))
         progress = float(self.tokens - self.warmup_tokens) / float(
             max(1, self.final_tokens - self.warmup_tokens)
         )
         return max(0.1, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+    def _advance_tokens(self, global_rows, seq_len):
+        """Token-unit quirk: direct_supervision counts EPISODES
+        (direct_supervision_trainer.py:107); the interactron trainers count
+        FRAMES (interactron_trainer.py:115)."""
+        self.tokens += global_rows if self.single_optimizer else global_rows * seq_len
 
     def train(self, max_epochs=None, rng=None, resume_from=None):
         max_epochs = max_epochs if max_epochs is not None else self.max_epochs
@@ -256,16 +269,11 @@ class Trainer:
                     params, opt_states, metrics, path_state = self._train_step(
                         params, frozen, opt_states, db, sub, scale, path_state
                     )
-                    # token unit differs per trainer type in the reference:
-                    # direct_supervision counts episodes (direct_supervision_
-                    # trainer.py:107), interactron trainers count frames
-                    # (interactron_trainer.py:115)
-                    if self.single_optimizer:
-                        self.tokens += global_rows
-                        self.logger.add_value("Train/LR", self.learning_rate * scale)
-                    else:
-                        self.tokens += global_rows * batch["frames"].shape[1]
-                        self.logger.add_value("Train/LR", self.supervisor_lr * scale)
+                    self._advance_tokens(global_rows, batch["frames"].shape[1])
+                    base_lr = (
+                        self.learning_rate if self.single_optimizer else self.supervisor_lr
+                    )
+                    self.logger.add_value("Train/LR", base_lr * scale)
                 else:
                     metrics, path_state = self._eval_step(params, frozen, db, sub, path_state)
                 macc = metrics if macc is None else jax.tree_util.tree_map(jnp.add, macc, metrics)

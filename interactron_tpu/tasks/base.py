@@ -293,6 +293,21 @@ def tree_zeros_like(t):
     return jax.tree_util.tree_map(jnp.zeros_like, t)
 
 
+# Unrolled-microbatch mode: execution keeps the lax.scan (measured equal or
+# ~1% faster than straight-line at num_micro=2 on v5e — the while's 31.8 ms
+# of profiled self-time is double-buffered DMA, not recoverable overhead),
+# but XLA's cost analysis does NOT multiply while-body flops by the trip
+# count, which silently halved every reported train MFU (0.094 reported vs
+# 0.187 real at num_micro=2). bench.py flips this flag around its
+# cost-analysis lowering so the flop count sees every microbatch.
+_FORCE_UNROLL = False
+
+
+def set_unroll_microbatches(enabled: bool):
+    global _FORCE_UNROLL
+    _FORCE_UNROLL = bool(enabled)
+
+
 def scan_microbatches(fn, batch, num_micro, carry_init):
     """Split the episode axis into `num_micro` chunks and scan `fn` over
     them, accumulating (grads, metrics) sums in the carry."""
@@ -302,6 +317,12 @@ def scan_microbatches(fn, batch, num_micro, carry_init):
     stacked = jax.tree_util.tree_map(
         lambda x: x.reshape(num_micro, mb, *x.shape[1:]), batch
     )
+
+    if _FORCE_UNROLL and num_micro <= 8:
+        carry = carry_init
+        for i in range(num_micro):
+            carry = fn(carry, jax.tree_util.tree_map(lambda x: x[i], stacked))
+        return carry
 
     def body(carry, mb_batch):
         return fn(carry, mb_batch), None

@@ -47,6 +47,8 @@ if not TESTS_ON_TPU:
 HEAVY_MODULES = {
     "test_reference_differential",  # live torch reference in-process (~16 min)
     "test_trainer_differential",    # optimizer-in-the-loop lockstep vs reference
+    "test_trainer_differential_prod",  # production-shape lockstep + checkpoint lifecycle
+    "test_trainer_differential_ds",    # direct_supervision single-optimizer lockstep
     "test_evaluator_differential",  # live reference scoring/AP pipeline
     "test_detr_full_parity",        # full-width 300x300 detector conversion
     "test_fusion_full_parity",      # full-width fusion conversion

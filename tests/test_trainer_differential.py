@@ -358,10 +358,15 @@ def test_lockstep_parameter_deltas(lockstep, pair):
 
 
 def _seed_gt_from_predictions(ann, img_root, task, params_dev, frozen):
-    """Rewrite each test episode's frame-0 GT to the model's own top
-    predictions so the golden AP is non-degenerate (random-init predictions
-    would otherwise never match random GT and both APs would be trivially
-    zero). Both sides read the rewritten JSON."""
+    """Rewrite each test episode's frame-0 GT to PERTURBED copies of the
+    model's own top predictions so the golden AP is non-degenerate AND
+    mid-range (VERDICT r4 next #7): boxes are jittered so matched ious land
+    in ~0.3-0.9 (exercising both sides of the 0.5 threshold and the greedy
+    matcher away from the saturated iou=1 regime), one GT per even episode
+    is dropped (-> fp records) and one spurious far-away GT per odd episode
+    is added (-> fn records), so the 101-point interpolation sees a real
+    tp/fp mix along the score ordering. Both sides read the rewritten
+    JSON."""
     import json
 
     from interactron_tpu.data.episode_dataset import EpisodeDataset, EpisodeLoader
@@ -385,15 +390,53 @@ def _seed_gt_from_predictions(ann, img_root, task, params_dev, frozen):
         probs /= probs.sum(-1, keepdims=True)
         scores, cats = probs.max(-1), probs.argmax(-1)
         usable = (cats != NUM_CLASSES) & (cats > 0)
-        order = np.argsort(-(scores * usable))[:4]
-        dets = {}
-        for j, q in enumerate(order):
+        order = np.argsort(-(scores * usable))
+
+        def _iou(a, b):
+            ax1, ay1, ax2, ay2 = a[0] - a[2] / 2, a[1] - a[3] / 2, a[0] + a[2] / 2, a[1] + a[3] / 2
+            bx1, by1, bx2, by2 = b[0] - b[2] / 2, b[1] - b[3] / 2, b[0] + b[2] / 2, b[1] + b[3] / 2
+            iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+            ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+            inter = iw * ih
+            return inter / (a[2] * a[3] + b[2] * b[3] - inter + 1e-12)
+
+        # near-random-init predictions CLUSTER spatially; GT jittered around
+        # clustered predictions makes greedy matching ambiguous under ~1e-3
+        # cross-side prediction drift. Keep only predictions separated by
+        # pairwise iou < 0.2, so each detection meaningfully overlaps only
+        # its own GT and both sides make identical matching decisions.
+        kept = []
+        for q in order:
             if not usable[q]:
                 continue
-            cx, cy, w, h = (boxes[q] * RES).tolist()
+            box_q = (boxes[q] * RES).tolist()
+            if all(_iou(box_q, kb) < 0.2 for _, kb in kept):
+                kept.append((q, box_q))
+            if len(kept) == 4:
+                break
+
+        # TIERED target ious straddling the 0.5 threshold with wide margins:
+        # a same-size box shifted by d*w along x has iou (1-d)/(1+d), so
+        # d = (1-T)/(1+T) places the GT at exactly iou T (+- tiny noise)
+        tiers = [0.85, 0.65, 0.55, 0.35]
+        jrng = np.random.RandomState(1000 + i)
+        dets = {}
+        for j, (q, box_q) in enumerate(kept):
+            if i % 2 == 0 and j == 1 and len(kept) > 1:
+                continue  # dropped GT: this prediction becomes an fp
+            cx, cy, w, h = box_q
+            target = tiers[j] + jrng.uniform(-0.02, 0.02)
+            d = (1.0 - target) / (1.0 + target)
+            cx += d * w * jrng.choice([-1.0, 1.0])
             dets[f"pred_{j}"] = {
                 "category_id": int(cats[q]) - 1,  # dataset re-adds the +1
                 "bbox": [cx - w / 2, cy - h / 2, w, h],
+            }
+        if i % 2 == 1 and kept:
+            # spurious GT in a corner no prediction covers -> an fn record
+            dets["spurious"] = {
+                "category_id": int(cats[kept[0][0]]) - 1,
+                "bbox": [1.0, 1.0, 6.0, 6.0],
             }
         scene = blob["data"][i]
         scene["state_table"][scene["root"]]["detections"] = dets
@@ -469,9 +512,13 @@ def test_golden_ap_after_training(lockstep, pair, synthetic_disk):
     assert len(our_dets_accum) == len(ref_dets), (len(our_dets_accum), len(ref_dets))
 
     def rkey(d):
+        # pair records by (img, type, cat, iou): the seeded ious are tiered
+        # and well-separated within an image, whereas near-random-init
+        # prediction SCORES can be near-equal and would reorder under 1e-4
+        # cross-side drift
         return (
-            d["type"], int(d["pred_cat"]), float(d["pred_score"]),
-            float(d["iou"]), d["img"].split("/")[-1],
+            d["img"].split("/")[-1], d["type"], int(d["pred_cat"]),
+            float(d["iou"]),
         )
 
     for a, b in zip(
@@ -480,10 +527,13 @@ def test_golden_ap_after_training(lockstep, pair, synthetic_disk):
         assert a["type"] == b["type"] and int(a["pred_cat"]) == int(b["pred_cat"]), (a, b)
         np.testing.assert_allclose(a["pred_score"], float(b["pred_score"]), atol=2e-3)
         # iou amplifies box drift by ~2/box_size: a 2e-4 coordinate drift on
-        # a 0.15-wide box moves iou ~3e-3 (GT is seeded from OUR predictions,
-        # so ours sit at exactly 1.0 where the reference drifts just below)
+        # a 0.15-wide box moves iou ~3e-3
         np.testing.assert_allclose(a["iou"], float(b["iou"]), atol=1e-2)
 
     assert (tp, fp, fn) == (ref_tp, ref_fp, ref_fn)
     np.testing.assert_allclose(ap50, ref_ap50, atol=1e-3)
     np.testing.assert_allclose(ap, ref_ap, atol=1e-3)
+    # the perturbed-GT seeding must land the AP mid-range with a real
+    # tp/fp/fn mix (away from the saturated all-tp regime, VERDICT r4 #7)
+    assert tp > 0 and fp > 0 and fn > 0, (tp, fp, fn)
+    assert 0.05 < ap50 < 0.95, ap50

@@ -1,0 +1,184 @@
+"""Direct-supervision trainer lockstep vs the LIVE reference (VERDICT r4
+next #3, second half).
+
+The reference's DirectSupervisionTrainer drives detr_multiframe: ONE Adam
+over get_optimizer_groups (= all detector+fusion params, weight_decay 0.0,
+lr=LEARNING_RATE, direct_supervision_trainer.py:69), the model backwards
+per episode on ce + 5*giou + 2*bbox of the FUSION outputs
+(detr_multiframe.py:95), then a joint global-norm clip and optimizer step
+(direct_supervision_trainer.py:103-105). Our side runs the Trainer's jitted
+`_train_step` with TYPE=direct_supervision (single optax.adam over the whole
+tree) over MultiFrameTask at BATCH_SIZE=2 / INNER_BATCH=1, i.e. two
+scan-accumulated microbatches per step. 3 iterations; per-iteration loss
+components and pre-clip grad norm must agree, then post-Adam parameter
+deltas elementwise.
+
+The detector runs in eval mode except its decoder (detr_multiframe.py:114-119)
+— with dropout zeroed on both sides the mode only gates dropout, so the
+forward is deterministic. float32, resolution 96.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.test_trainer_differential import (  # noqa: E402 (side effects)
+    NUM_CLASSES,
+    RES,
+    S,
+    _delta_check,
+    _zero_dropout,
+)
+from tests.test_trainer_differential_prod import (  # noqa: E402
+    _make_batch,
+    _torch_data,
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+B = 2
+N_ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    from utils.config_utils import get_config as ref_get_config
+
+    ref_cfg = ref_get_config("/root/reference/configs/multi_frame_baseline.yaml")
+    torch.manual_seed(51)
+    from models.detr_models.detr import build as ref_build
+
+    det, _, _ = ref_build(ref_cfg.MODEL)
+    wpath = str(tmp_path_factory.mktemp("w") / "detr.pth")
+    torch.save({"model": det.state_dict()}, wpath)
+    ref_cfg.MODEL.WEIGHTS = wpath
+    torch.manual_seed(52)
+    from models.detr_multiframe import detr_multiframe as ref_multiframe
+
+    ref_model = ref_multiframe(ref_cfg.MODEL)
+    _zero_dropout(ref_model)
+
+    sd = {k: v.detach().clone().numpy() for k, v in ref_model.state_dict().items()}
+    from interactron_tpu.utils.convert_weights import (
+        convert_detector,
+        convert_fusion_gpt,
+    )
+
+    det_params, det_frozen = convert_detector(sd)
+    params = {"detector": det_params, "fusion": convert_fusion_gpt(sd)}
+
+    from interactron_tpu.tasks import MultiFrameTask
+    from interactron_tpu.utils.config import get_config
+
+    cfg = get_config("/root/repo/configs/multi_frame_baseline.yaml")
+    cfg.MODEL.TEST_RESOLUTION = RES
+    cfg.MODEL.DTYPE = "float32"
+    cfg.MODEL.WEIGHTS = None
+    cfg.MODEL.DETR_DROPOUT = 0.0
+    cfg.MODEL.EMBEDDING_PDROP = 0.0
+    cfg.MODEL.RESIDUAL_PDROP = 0.0
+    cfg.MODEL.ATTENTION_PDROP = 0.0
+    cfg.TRAINER.TYPE = "direct_supervision"
+    cfg.TRAINER.BATCH_SIZE = B
+    cfg.TRAINER.INNER_BATCH = 1
+    cfg.TRAINER.NUM_WORKERS = 0
+    cfg.TRAINER.LR_DECAY = False
+    out = str(tmp_path_factory.mktemp("ds_out"))
+    cfg.TRAINER.OUTPUT_DIRECTORY = out
+    cfg.EVALUATOR.OUTPUT_DIRECTORY = out
+    task = MultiFrameTask(cfg)
+
+    from interactron_tpu.engine.trainer import Trainer
+
+    trainer = Trainer(task, cfg, evaluator=None, mesh=None)
+    assert trainer.single_optimizer
+    return ref_model, task, trainer, cfg, params, det_frozen
+
+
+@pytest.fixture(scope="module")
+def lockstep(pair):
+    ref_model, task, trainer, cfg, params, frozen = pair
+    batches = [_make_batch(500 + it, uids=[2 * it, 2 * it + 1]) for it in range(N_ITERS)]
+
+    # ---- reference: the DirectSupervisionTrainer iteration, verbatim
+    # (direct_supervision_trainer.py:66-118)
+    opt = torch.optim.Adam(
+        ref_model.get_optimizer_groups(cfg.TRAINER),
+        lr=float(cfg.TRAINER.LEARNING_RATE),
+    )
+    ref_model.train()
+    ref0 = {k: v.detach().clone().numpy() for k, v in ref_model.state_dict().items()}
+    ref_traj = []
+    for it in range(N_ITERS):
+        _, losses = ref_model(_torch_data(batches[it]))
+        gnorm = torch.nn.utils.clip_grad_norm_(
+            ref_model.parameters(), float(cfg.TRAINER.GRAD_NORM_CLIP)
+        )
+        opt.step()
+        opt.zero_grad()
+        ref_traj.append(
+            {**{k: float(v) for k, v in losses.items()}, "grad_norm": float(gnorm)}
+        )
+    ref_final = {k: v.detach().clone().numpy() for k, v in ref_model.state_dict().items()}
+
+    # ---- ours: the production single-optimizer train step
+    opt_states = {"all": trainer.opts["all"].init(params)}
+    p = jax.device_get(params)
+    ours0 = p
+    dev_params = jax.tree_util.tree_map(jnp.asarray, p)
+    our_traj = []
+    for it in range(N_ITERS):
+        db = {k: jnp.asarray(v) for k, v in batches[it].items() if k != "paths"}
+        dev_params, opt_states, metrics, _ = trainer._train_step(
+            dev_params, frozen, opt_states, db, jax.random.PRNGKey(it), 1.0, {}
+        )
+        our_traj.append({k: float(v) for k, v in jax.device_get(metrics).items()})
+    ours_final = jax.device_get(dev_params)
+    return ref_traj, our_traj, ref0, ref_final, ours0, ours_final
+
+
+def test_ds_losses_and_grad_norm(lockstep):
+    ref_traj, our_traj = lockstep[0], lockstep[1]
+    for it in range(N_ITERS):
+        for k in ("loss_detector_ce", "loss_detector_bbox", "loss_detector_giou"):
+            np.testing.assert_allclose(
+                our_traj[it][k], ref_traj[it][k], rtol=4e-3, atol=4e-4,
+                err_msg=f"iter {it} {k}",
+            )
+        np.testing.assert_allclose(
+            our_traj[it]["grad_norm"], ref_traj[it]["grad_norm"],
+            rtol=4e-3 if it == 0 else 2.5e-2, err_msg=f"iter {it} grad_norm",
+        )
+
+
+def test_ds_parameter_deltas(lockstep, pair):
+    cfg = pair[3]
+    _, _, ref0, ref_final, ours0, ours_final = lockstep
+    lr = float(cfg.TRAINER.LEARNING_RATE)
+
+    def rd(k):
+        return ref_final[k] - ref0[k]
+
+    checks = [
+        ("class_embed.weight", "detector.class_embed.weight",
+         lambda p: p["detector"]["class_embed"]["kernel"], True),
+        ("bbox_embed.layers.2.weight", "detector.bbox_embed.layers.2.weight",
+         lambda p: p["detector"]["bbox_embed"]["layer2"]["kernel"], True),
+        ("fusion head", "fusion.model.head.weight",
+         lambda p: p["fusion"]["head"]["kernel"], True),
+        ("fusion block0 q", "fusion.model.blocks.0.attn.query.weight",
+         lambda p: p["fusion"]["block0"]["attn"]["q_proj"]["kernel"], True),
+        ("encoder0 out_proj",
+         "detector.transformer.encoder.layers.0.self_attn.out_proj.weight",
+         lambda p: p["detector"]["encoder_layer0"]["self_attn"]["out_proj"]["kernel"],
+         True),
+    ]
+    for name, rkey, opath, transpose in checks:
+        ours_delta = np.asarray(opath(ours_final)) - np.asarray(opath(ours0))
+        if transpose:
+            ours_delta = ours_delta.T
+        _delta_check(name, rd(rkey), ours_delta, lr)
