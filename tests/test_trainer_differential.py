@@ -417,19 +417,29 @@ def _seed_gt_from_predictions(ann, img_root, task, params_dev, frozen):
 
         # TIERED target ious straddling the 0.5 threshold with wide margins:
         # a same-size box shifted by d*w along x has iou (1-d)/(1+d), so
-        # d = (1-T)/(1+T) places the GT at exactly iou T (+- tiny noise)
-        tiers = [0.85, 0.65, 0.55, 0.35]
+        # d = (1-T)/(1+T) places the GT at exactly iou T (+- tiny noise).
+        # The tier ROTATES with the episode so that even when dedup keeps a
+        # single prediction, some episodes' GT lands BELOW the 0.5 match
+        # threshold — those detections become fp records (and their GTs fn)
+        tiers = [0.85, 0.35, 0.65, 0.55]
         jrng = np.random.RandomState(1000 + i)
         dets = {}
         for j, (q, box_q) in enumerate(kept):
             if i % 2 == 0 and j == 1 and len(kept) > 1:
                 continue  # dropped GT: this prediction becomes an fp
             cx, cy, w, h = box_q
-            target = tiers[j] + jrng.uniform(-0.02, 0.02)
+            target = tiers[(i + j) % 4] + jrng.uniform(-0.02, 0.02)
             d = (1.0 - target) / (1.0 + target)
             cx += d * w * jrng.choice([-1.0, 1.0])
+            cat = int(cats[q]) - 1  # dataset re-adds the +1
+            if i % 4 == 1 and j == 0:
+                # category-mismatched GT: the matcher is category-scoped, so
+                # this episode's detection has no same-cat GT -> a true fp
+                # RECORD (a sub-threshold-iou match still types as "tp" with
+                # its iou recorded; the 0.5 cut applies inside compute_ap)
+                cat = (cat + 1) % NUM_CLASSES
             dets[f"pred_{j}"] = {
-                "category_id": int(cats[q]) - 1,  # dataset re-adds the +1
+                "category_id": cat,
                 "bbox": [cx - w / 2, cy - h / 2, w, h],
             }
         if i % 2 == 1 and kept:

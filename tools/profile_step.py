@@ -7,8 +7,13 @@ This replaces eyeballing TensorBoard: numbers land directly in the
 terminal so optimization decisions stay measurement-driven.
 
 Usage (on TPU):
-    python tools/profile_step.py predict [--batch 4] [--top 40]
-    python tools/profile_step.py train   [--batch 8] [--top 40]
+    python tools/profile_step.py predict    [--batch 4] [--top 40]
+    python tools/profile_step.py train      [--batch 8] [--top 40]
+    python tools/profile_step.py train_scan [--batch 8] [--top 40]
+
+train_scan profiles bench.measure_train's EXACT scan-chained program (the
+one the recorded eps/s comes from) instead of a host-looped single step —
+the two differ by the outer scan's carry handling.
 """
 
 import argparse
@@ -38,6 +43,14 @@ def capture(mode, batch, iters):
         def run():
             out = fn(*args)
             _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    elif mode == "train_scan":
+        # the bench's exact scan-chained train program (BENCH_TRAIN_ITERS
+        # steps per call; the caller divides by 2x that — warm + timed)
+        os.environ["BENCH_TRAIN_BATCH"] = str(batch)
+        import bench
+
+        def run():
+            bench.measure_train()
     else:
         import numpy as np
         import optax
@@ -153,7 +166,7 @@ def report(xplane, top, iters):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["predict", "train"])
+    ap.add_argument("mode", choices=["predict", "train", "train_scan"])
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--top", type=int, default=40)
@@ -161,6 +174,10 @@ def main():
                     help="re-report an existing capture instead of re-running")
     a = ap.parse_args()
     batch = a.batch or (4 if a.mode == "predict" else 8)
+    if a.mode == "train_scan":
+        # the traced region holds warm + timed calls = 2 x BENCH_TRAIN_ITERS
+        # scan steps; report per scan step
+        a.iters = 2 * int(os.environ.get("BENCH_TRAIN_ITERS", 12))
     xplane = a.xplane or capture(a.mode, batch, a.iters)
     print(f"xplane: {xplane}")
     report(xplane, a.top, a.iters)
