@@ -82,6 +82,18 @@ def pair(tmp_path_factory):
     cfg.MODEL.EMBEDDING_PDROP = 0.0
     cfg.MODEL.RESIDUAL_PDROP = 0.0
     cfg.MODEL.ATTENTION_PDROP = 0.0
+    # the Trainer builds its datasets at construction; point the config's
+    # iTHOR paths at a tiny synthetic fixture (the lockstep feeds batches
+    # directly and never touches the loader)
+    from interactron_tpu.data.synthetic import make_synthetic_dataset
+
+    img_root, ann = make_synthetic_dataset(
+        str(tmp_path_factory.mktemp("ds_data")), n_episodes=2, n_states=6,
+        img_size=RES, n_categories=8,
+    )
+    for split in (cfg.DATASET.TRAIN, cfg.DATASET.TEST):
+        split.IMAGE_ROOT = img_root
+        split.ANNOTATION_ROOT = ann
     cfg.TRAINER.TYPE = "direct_supervision"
     cfg.TRAINER.BATCH_SIZE = B
     cfg.TRAINER.INNER_BATCH = 1
