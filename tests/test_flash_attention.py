@@ -172,14 +172,19 @@ def test_flash2_second_order_matches_reference(t, s):
 
 
 @pytest.mark.parametrize("t,s", [(200, 200), (130, 260)])
-def test_flashso_second_order_matches_reference(t, s):
+@pytest.mark.parametrize("merged", ["1", "0"])
+def test_flashso_second_order_matches_reference(t, s, merged, monkeypatch):
     """Explicit second-order kernels (the backward as a custom-vjp function
-    whose VJP is the _sov_row/_sov_col Pallas kernels) vs plain attention at
+    whose VJP is the second-order Pallas kernels) vs plain attention at
     first and second order, for cotangents flowing into q, k, v AND the
-    upstream dO path."""
+    upstream dO path. Covers BOTH the single-sweep merged kernel
+    (_sov_merged_kernel, the production default) and the split
+    row+column pair (SO_MERGED=0)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from interactron_tpu.ops import flash_attention as fa
+
+    monkeypatch.setenv("SO_MERGED", merged)
 
     rng = np.random.RandomState(11)
     b, h, d = 1, 2, 64

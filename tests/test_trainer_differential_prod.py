@@ -403,14 +403,19 @@ def test_checkpoint_lifecycle_differential(lockstep, pair, synthetic_disk,
     flat_ours = jax.tree_util.tree_leaves_with_path(jax.device_get(loaded_params))
     flat_ref = jax.tree_util.tree_leaves_with_path(ref_tree)
     assert len(flat_ours) == len(flat_ref)
+    det_lr = float(cfg.TRAINER.DETECTOR_LR)
+    sup_lr = float(cfg.TRAINER.SUPERVISOR_LR)
     for (pa, a), (pb, bv) in zip(flat_ours, flat_ref):
         assert pa == pb
-        # atol 5e-5: the two sides train through independent fp32
-        # pipelines for 2 Adam steps before averaging — a per-element drift
-        # tail up to ~1.3e-5 (2 of 147k elements measured) is the lockstep's
-        # own tolerance band, while averaging/conversion bugs show at 1e-2
+        # The two sides train through independent fp32 pipelines for
+        # N_ITERS Adam steps before averaging, so a small per-element tail
+        # legitimately drifts by up to ~Adam's per-element step bound
+        # (~lr per step, at sign-boundary elements where |g| ~ eps). The
+        # band scales with the OWNING optimizer's lr — fusion trains at
+        # 10x the detector LR. Averaging/conversion bugs show at 1e-2.
+        lr = sup_lr if jax.tree_util.keystr(pa).startswith("['fusion']") else det_lr
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(bv), atol=5e-5,
+            np.asarray(a), np.asarray(bv), atol=2.5 * lr * N_ITERS,
             err_msg=jax.tree_util.keystr(pa),
         )
     for (pa, a), (pb, bv) in zip(
