@@ -195,6 +195,8 @@ def measure_train():
     # halved every reported MFU at inner accumulation depth 2 (0.094
     # reported vs 0.187 real, round 5). Execution keeps the scan.
     flops_per_step = None
+    if os.environ.get("BENCH_SKIP_MFU"):
+        return _measure_train_timed(fn, params, opt_state, batch, path_state, None)
     try:
         from interactron_tpu.tasks.base import set_unroll_microbatches
 
@@ -211,6 +213,11 @@ def measure_train():
         flops_per_step = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
+    return _measure_train_timed(fn, params, opt_state, batch, path_state,
+                                flops_per_step)
+
+
+def _measure_train_timed(fn, params, opt_state, batch, path_state, flops_per_step):
     carry = fn(params, opt_state, batch, jax.random.PRNGKey(1), jnp.zeros(()), path_state)
     _ = float(carry[2])  # warm + compile (donation: reuse carry outputs below)
     params, opt_state, chain, path_state = carry

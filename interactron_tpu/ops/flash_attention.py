@@ -956,6 +956,98 @@ def _sov_col_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
     cv_ref[0] = cv_ref[0] + cv
 
 
+def _sov_merged_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, a_ref, bc_ref,
+                       c_ref, l_ref, d_ref, cq_ref, cdo_ref, ck_ref, cv_ref, *,
+                       scale, rate, n_k_blocks, hd, g_sz):
+    """Single-sweep second-order backward: the row kernel extended to ALSO
+    accumulate c_k/c_v across its q-block grid sweep.
+
+    The separate row+column pair recomputes every (q, k) tile's
+    logits/p/dp/g_dS/g_P chain TWICE (once per kernel) because the column
+    kernel cannot form full-row sums. But the row kernel already holds the
+    FULL k/v/Bc/C sequence in VMEM (col_full specs) and materializes g_S,
+    dS and g_dp for its q block — the missing c_k/c_v contributions are two
+    transposed GEMMs per head group. Keeping (s_pad, lanes) fp32 c_k/c_v
+    accumulators VMEM-resident across the j sweep (output index map ignores
+    j; grid iterates j innermost) adds ~2.2 MB and eliminates the column
+    kernel's 5 GEMMs + ~10 VPU passes per tile — ~40% of the second-order
+    cost at the fusion shape. Heavy per-step work (a whole row sweep)
+    amortizes the output revisit chain that made the ch=1 column layout
+    slow (see _sov_col_kernel docstring)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        ck_ref[...] = jnp.zeros_like(ck_ref)
+        cv_ref[...] = jnp.zeros_like(cv_ref)
+
+    mt = lambda x, y: jax.lax.dot_general(
+        x, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    cqs, cdos, cks, cvs = [], [], [], []
+    for g in range(g_sz):
+        sl = slice(g * hd, (g + 1) * hd)
+        qg = q_ref[0][:, sl]
+        qs = qg * (scale * 1.4426950408889634)
+        kg = k_ref[0][:, sl]
+        vg = v_ref[0][:, sl]
+        dog = do_ref[0][:, sl]
+        Ag = a_ref[0][:, sl]
+        Bg = bc_ref[0][:, sl]
+        Cg = c_ref[0][:, sl]
+        L = l_ref[0, g]     # (BQ, 1)
+        D = d_ref[0, g]
+        mm = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        mn = lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        logits = mm(qs, kg)
+        p = jnp.exp2(logits - L * 1.4426950408889634)  # (BQ, S)
+        dp_raw = mm(dog, vg)
+        g_dS = (mm(Ag, kg) + mm(qg, Bg)) * scale
+        g_Pd_raw = mm(dog, Cg)
+        if rate > 0.0:
+            bk = p.shape[1] // n_k_blocks
+            keep = _keep_mask_row(seed_ref[0, 0], i * g_sz + g, j, n_k_blocks,
+                                  bk, p.shape[0], rate)
+            inv = 1.0 / (1.0 - rate)
+            dp = jnp.where(keep, dp_raw * inv, 0.0)
+            g_P1 = jnp.where(keep, g_Pd_raw * inv, 0.0)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            keep = None
+            dp = dp_raw
+            g_P1 = g_Pd_raw
+            pd = p
+        e = dp - D
+        dS = p * e
+        g_D = -jnp.sum(p * g_dS, axis=-1, keepdims=True)   # (BQ, 1)
+        g_P = g_P1 + g_dS * e + g_D * dp
+        g_dpm = p * (g_dS + g_D)
+        if rate > 0.0:
+            g_dp_raw = jnp.where(keep, g_dpm / (1.0 - rate), 0.0)
+        else:
+            g_dp_raw = g_dpm
+        s_gp = jnp.sum(p * g_P, axis=-1, keepdims=True)
+        g_S = p * (g_P - s_gp)
+        cqs.append((mn(g_S.astype(kg.dtype), kg)
+                    + mn(dS.astype(Bg.dtype), Bg)) * scale)
+        cdos.append(mn(pd.astype(Cg.dtype), Cg) + mn(g_dp_raw.astype(vg.dtype), vg))
+        # c_k/c_v contributions of this q block (the column kernel's math,
+        # without recomputing the tile chain)
+        cks.append((mt(g_S.astype(qg.dtype), qg)
+                    + mt(dS.astype(Ag.dtype), Ag)) * scale)
+        cvs.append(mt(g_dp_raw.astype(dog.dtype), dog))
+    cq = cqs[0] if g_sz == 1 else jnp.concatenate(cqs, axis=1)
+    cdo = cdos[0] if g_sz == 1 else jnp.concatenate(cdos, axis=1)
+    ck = cks[0] if g_sz == 1 else jnp.concatenate(cks, axis=1)
+    cv = cvs[0] if g_sz == 1 else jnp.concatenate(cvs, axis=1)
+    cq_ref[0] = cq.astype(cq_ref.dtype)
+    cdo_ref[0] = cdo.astype(cdo_ref.dtype)
+    ck_ref[0] = ck_ref[0] + ck
+    cv_ref[0] = cv_ref[0] + cv
+
+
 def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
     """VJP of the attention backward: cotangents (A, Bc, C) of (dq, dk, dv)
     -> cotangents (c_q, c_k, c_v, c_dO). All of q/k/v/do/A/Bc/C are packed
@@ -990,6 +1082,46 @@ def _so_vjp_impl(q, k, v, do, A, Bc, C, L, D, seed, rate, h):
         (1, c, t_pad, 1), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM)
 
     grid_q = (b * ng, t_pad // bq)
+
+    if os.environ.get("SO_MERGED", "1") != "0":
+        # single-sweep kernel: c_k/c_v accumulate in VMEM-resident fp32
+        # tiles across the q-block sweep — no column kernel, no stats
+        # round-trip, no tile-chain recompute (see _sov_merged_kernel)
+        out_full = lambda: pl.BlockSpec(
+            (1, s_pad, lanes), lambda i, j, ng=ng: (i // ng, 0, i % ng),
+            memory_space=pltpu.VMEM)
+        # the resident fp32 c_k/c_v accumulators + their double buffers push
+        # the working set past Mosaic's 16M default scoped-vmem cap at the
+        # fusion shape (21.1M measured); v5e VMEM is 128M — raise the cap
+        vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        cq, cdo, ck, cv = pl.pallas_call(
+            functools.partial(_sov_merged_kernel, scale=scale, rate=rate,
+                              n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
+                jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
+                jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
+                jax.ShapeDtypeStruct((b, s_pad, dim), jnp.float32),
+            ),
+            grid=grid_q,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                row_specs(),            # q
+                col_full(s_pad),        # k
+                col_full(s_pad),        # v
+                row_specs(),            # do
+                row_specs(),            # A
+                col_full(s_pad),        # Bc
+                col_full(s_pad),        # C
+                stat_blk(g_sz),         # L
+                stat_blk(g_sz),         # D
+            ],
+            out_specs=(row_specs(), row_specs(), out_full(), out_full()),
+            compiler_params=vmem_cap,
+        )(seed, qf, kf, vf, dof, Af, Bf, Cf, L, D)
+        return (cq[:, :t], ck[:, :s].astype(q.dtype),
+                cv[:, :s].astype(q.dtype), cdo[:, :t])
+
     cq, cdo, stats = pl.pallas_call(
         functools.partial(_sov_row_kernel, scale=scale, rate=rate,
                           n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
