@@ -24,12 +24,25 @@ _CHUNK_BLOCK = 256
 # for on-chip sweeps, like FLASH_BLOCK_Q in ops/flash_attention.py)
 import os as _os
 
-_FLASH_MIN_HD = int(_os.environ.get("FLASH_MIN_HD", 64))
-_FLASH_MIN_S = int(_os.environ.get("FLASH_MIN_S", 1024))
-# query-length gate: lowering FLASH_MIN_S to pull the DETR ENCODER
-# (t=s=361) into the kernel would otherwise also pull the decoder's cross
-# attention (t=50 -> 61% q padding at the 128 block)
-_FLASH_MIN_T = int(_os.environ.get("FLASH_MIN_T", 0))
+# Defaults re-measured round 5 on v5e with the packed-head + merged-backward
+# kernel generation: pulling the DETR ENCODER (t=s=361, hd=32 packed
+# 4-per-group) into the kernels now WINS on both legs — predict 108.1 vs
+# 107.1 eps/s, train 30.8 vs 28.9 (the round-3 measurement that kept the
+# encoder out, 81.1 vs 83.1, predates the merged backward). The t-gate keeps
+# the decoder's t=50 queries (61% q-block padding) on the XLA chain.
+_FLASH_MIN_HD = int(_os.environ.get("FLASH_MIN_HD", 32))
+_FLASH_MIN_S = int(_os.environ.get("FLASH_MIN_S", 256))
+_FLASH_MIN_T = int(_os.environ.get("FLASH_MIN_T", 128))
+# Separate (laxer) gates for the TWICE-DIFFERENTIATED context: there the
+# alternative is the materializing XLA chain replayed across every AD order
+# (profiled ~25-30 ms/step of f32 (mb*5, 8, 361, 361) softmax traffic for
+# the DETR encoder at inner_batch=4), not the well-fused first-order chain
+# the FLASH_MIN_* defaults were tuned against. Defaults pull t=s=361-sized
+# problems (DETR/ViT encoder) into the second-order kernels while leaving
+# the decoder's t=50 queries (61% q-block padding) materialized.
+_FLASH_SO_MIN_HD = int(_os.environ.get("FLASH_SO_MIN_HD", 32))
+_FLASH_SO_MIN_S = int(_os.environ.get("FLASH_SO_MIN_S", 256))
+_FLASH_SO_MIN_T = int(_os.environ.get("FLASH_SO_MIN_T", 128))
 
 
 def set_flash_attention(enabled: bool):
@@ -91,36 +104,44 @@ def packed_attention(
     in_dtype = q.dtype
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
-    # Gate: fusion-sized problems only (S=2060, hd=64). The DETR-sized
-    # attention (S=361, hd=32) measured slower through the kernel even in
-    # the packed unpadded layout (81.1 vs 83.1 eps/s predict): at 361
-    # tokens the XLA-fused einsum chain wins on pipeline depth.
-    if (
-        _USE_PALLAS
-        and key_padding_mask is None
-        and hd >= _FLASH_MIN_HD
-        and s >= _FLASH_MIN_S
-        and t >= _FLASH_MIN_T
-    ):
+    # Gate: fusion-sized (S=2060, hd=64) AND encoder-sized (S=361, hd=32
+    # packed 4 heads/group) problems; only short-query work (the decoder's
+    # t=50) stays on the XLA-fused einsum chain. See the FLASH_MIN_*
+    # defaults above for the round-5 measurements behind this.
+    if _USE_PALLAS and key_padding_mask is None:
         rate = 0.0 if deterministic else float(dropout_rate)
-        if not _FLASH_SUPPRESSED:
+        if (
+            not _FLASH_SUPPRESSED
+            and hd >= _FLASH_MIN_HD
+            and s >= _FLASH_MIN_S
+            and t >= _FLASH_MIN_T
+        ):
             from interactron_tpu.ops.flash_attention import flash_attention_bthd
 
             return flash_attention_bthd(
                 q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
             ).astype(in_dtype)
-        # Twice-differentiated context (the meta inner loss): explicit
-        # second-order kernels — the backward is a custom-vjp function whose
-        # own VJP is two Pallas kernels, so forward, first-order backward
-        # AND the second-order backward all run fused with no (T, S) HBM
-        # tensors. (The differentiable-bwd hybrid and the jnp chunked path
-        # remain as fallbacks; the materializing XLA path was the previous
-        # default at 898 ms/step.)
-        from interactron_tpu.ops.flash_attention import flash_attention_so_bthd
+        if (
+            _FLASH_SUPPRESSED
+            and hd >= _FLASH_SO_MIN_HD
+            and s >= _FLASH_SO_MIN_S
+            and t >= _FLASH_SO_MIN_T
+        ):
+            # Twice-differentiated context (the meta inner loss): explicit
+            # second-order kernels — the backward is a custom-vjp function
+            # whose own VJP is two Pallas kernels, so forward, first-order
+            # backward AND the second-order backward all run fused with no
+            # (T, S) HBM tensors. (The differentiable-bwd hybrid and the jnp
+            # chunked path remain as fallbacks; the materializing XLA path
+            # was the previous default at 898 ms/step.) The gates are laxer
+            # than the first-order ones: here the alternative replays the
+            # materializing chain at every AD order, so DETR/ViT-encoder
+            # sizes (t=s=361, hd=32 packed 4-per-group) win too.
+            from interactron_tpu.ops.flash_attention import flash_attention_so_bthd
 
-        return flash_attention_so_bthd(
-            q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
-        ).astype(in_dtype)
+            return flash_attention_so_bthd(
+                q, k, v, h, dropout_rate=rate, dropout_rng=dropout_rng
+            ).astype(in_dtype)
 
     qh = q.reshape(b, t, h, hd)
     kh = k.reshape(b, s, h, hd)

@@ -258,14 +258,19 @@ def test_so_path_in_meta_step_matches_xla():
     g_ref, m_ref, _ = task.grads_and_metrics(params, frozen, batch, rng, ps)
 
     attn.set_flash_attention(True)
-    min_hd, min_s = attn._FLASH_MIN_HD, attn._FLASH_MIN_S
+    saved = (attn._FLASH_MIN_HD, attn._FLASH_MIN_S,
+             attn._FLASH_SO_MIN_HD, attn._FLASH_SO_MIN_S, attn._FLASH_SO_MIN_T)
     attn._FLASH_MIN_HD, attn._FLASH_MIN_S = 8, 16
+    # the twice-differentiated context dispatches on its own (laxer) gates —
+    # lower them too so the tiny shapes exercise the second-order kernels
+    attn._FLASH_SO_MIN_HD, attn._FLASH_SO_MIN_S, attn._FLASH_SO_MIN_T = 8, 16, 0
     try:
         with _maybe_interpret():
             g_so, m_so, _ = task.grads_and_metrics(params, frozen, batch, rng, ps)
     finally:
         attn.set_flash_attention(False)
-        attn._FLASH_MIN_HD, attn._FLASH_MIN_S = min_hd, min_s
+        (attn._FLASH_MIN_HD, attn._FLASH_MIN_S,
+         attn._FLASH_SO_MIN_HD, attn._FLASH_SO_MIN_S, attn._FLASH_SO_MIN_T) = saved
 
     np.testing.assert_allclose(
         float(m_so["total_loss"]), float(m_ref["total_loss"]), rtol=2e-3)
