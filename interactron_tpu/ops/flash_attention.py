@@ -461,10 +461,18 @@ def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
     gf = _pad_t(g, t_pad)
     D = _make_D(gf, o_pad, b, t_pad, h, hd, ng, g_sz)
 
+    # the full-T resident blocks (q/do/L/D plus the revisited dq accumulator
+    # in the merged kernel) sit just over Mosaic's 16M default scoped-vmem
+    # cap once an OUTER vmap adds a batch grid dim (measured 16.20M at the
+    # fusion shape under the predict bench's episode vmap at batch 8 —
+    # compile-time OOM, 200K over); same remedy as the second-order merged
+    # kernel's 64M cap
+    vmem_cap = pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024)
     grid_q = (b * ng, t_pad // bq)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, rate=rate,
                           n_k_blocks=s_pad // bq, hd=hd, g_sz=g_sz),
+        compiler_params=vmem_cap,
         out_shape=jax.ShapeDtypeStruct((b, t_pad, dim), q.dtype),
         grid=grid_q,
         in_specs=[
@@ -496,6 +504,7 @@ def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
                 n_k_blocks=s_pad // bq, n_q_blocks=t_pad // bq, bq=bq,
                 hd=hd, g_sz=g_sz,
             ),
+            compiler_params=vmem_cap,
             out_shape=(
                 jax.ShapeDtypeStruct((b, t_pad, dim), jnp.float32),
                 jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
@@ -543,6 +552,7 @@ def _bwd_kernels(q, k, v, g, o_pad, L, seed, rate, h, bq):
     grid_k = (b * ng, s_pad // bq)
     dk, dv = pl.pallas_call(
         kern,
+        compiler_params=vmem_cap,
         out_shape=(
             jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
             jax.ShapeDtypeStruct((b, s_pad, dim), q.dtype),
